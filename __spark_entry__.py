@@ -1,38 +1,500 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)     -> flagship ingest pipeline on sf0.001 documents.
+queries()        -> per-operator DataFrame builders (SURVEY.md §2).
+oracle_sql()     -> DuckDB-equivalent SQL for each query (same column
+                    aliases; doubles rounded identically on both sides).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: Data-Juicer-style ingest pipeline (clean → quality
+    filters → exact dedup) over sf0.001 documents."""
+    from data_juicer_spark.pipeline import Pipeline
+
+    df = _t(spark, "/root/testdata/sf0.001", "documents")
+    pipe = Pipeline([
+        {"whitespace_normalization_mapper": {"text_key": "text"}},
+        {"text_length_filter": {"min_len": 10, "max_len": 100000, "text_key": "text"}},
+        {"words_num_filter": {"min_num": 3, "max_num": 100000, "text_key": "text"}},
+        {"document_deduplicator": {"text_key": "text", "id_key": "doc_id"}},
+    ])
+    return pipe.apply(df).select("doc_id", "text", "lang", "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_filter_text_length(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+    import data_juicer_spark.operators  # noqa: F401
+
+    op = OPERATORS.get("text_length_filter")(min_len=50, max_len=400, text_key="text")
+    df = op.apply(_t(spark, sf_dir, "documents"))
+    return df.select("doc_id", "text", F.col("stats.text_len").alias("text_len"))
+
+
+def _q_filter_words_num(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    op = OPERATORS.get("words_num_filter")(min_num=20, max_num=60, text_key="text")
+    df = op.apply(_t(spark, sf_dir, "documents"))
+    return df.select("doc_id", F.col("stats.num_words").alias("num_words"))
+
+
+def _q_filter_alphanumeric(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    op = OPERATORS.get("alphanumeric_filter")(min_ratio=0.7, max_ratio=1.0, text_key="text")
+    df = op.apply(_t(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id", F.round(F.col("stats.alnum_ratio"), 6).alias("alnum_ratio")
+    )
+
+
+def _q_filter_avg_line_length(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    op = OPERATORS.get("average_line_length_filter")(min_len=0, max_len=300, text_key="text")
+    df = op.apply(_t(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id", F.round(F.col("stats.avg_line_length"), 6).alias("avg_line_length")
+    )
+
+
+def _q_filter_max_line_length(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    op = OPERATORS.get("maximum_line_length_filter")(min_len=0, max_len=350, text_key="text")
+    df = op.apply(_t(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id", F.col("stats.max_line_length").alias("max_line_length")
+    )
+
+
+def _q_filter_specified_numeric(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    op = OPERATORS.get("specified_numeric_field_filter")(
+        field_key="n_chars", min_value=100, max_value=300
+    )
+    return op.apply(_t(spark, sf_dir, "documents")).select("doc_id", "n_chars")
+
+
+def _q_filter_general_field(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    op = OPERATORS.get("general_field_filter")(
+        filter_condition="n_chars > 200 and lang = 'en'"
+    )
+    return op.apply(_t(spark, sf_dir, "documents")).select("doc_id", "lang", "n_chars")
+
+
+def _q_mapper_clean_links(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    op = OPERATORS.get("clean_links_mapper")(text_key="text")
+    return op.apply(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+
+
+def _q_mapper_remove_long_words(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    op = OPERATORS.get("remove_long_words_mapper")(min_len=2, max_len=6, text_key="text")
+    return op.apply(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+
+
+def _q_mapper_replace_content(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    op = OPERATORS.get("replace_content_mapper")(
+        pattern=r"spark", repl="SPARK", text_key="text"
+    )
+    return op.apply(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+
+
+def _q_mapper_sentence_split(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    op = OPERATORS.get("sentence_split_mapper")(text_key="text")
+    return op.apply(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    op = OPERATORS.get("document_deduplicator")(text_key="text", id_key="doc_id")
+    return op.apply(_t(spark, sf_dir, "documents")).select("doc_id", "text", "lang")
+
+
+def _q_dedup_exact_lowercase(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    op = OPERATORS.get("document_deduplicator")(
+        text_key="text", id_key="doc_id", lowercase=True
+    )
+    return op.apply(_t(spark, sf_dir, "documents")).select("doc_id")
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    from data_juicer_spark.functions.hashing import doc_fingerprint, content_sha256
+
+    df = _t(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        doc_fingerprint(F.col("text")).alias("fingerprint"),
+        content_sha256(F.col("text")).alias("sha256"),
+    )
+
+
+def _q_selector_topk(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    op = OPERATORS.get("topk_specified_field_selector")(
+        field_key="n_chars", topk=25, id_key="doc_id"
+    )
+    return op.apply(_t(spark, sf_dir, "documents")).select("doc_id", "n_chars")
+
+
+def _q_selector_frequency(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    op = OPERATORS.get("frequency_specified_field_selector")(field_key="lang", topk=2)
+    return op.apply(_t(spark, sf_dir, "documents")).select("doc_id", "lang")
+
+
+def _q_selector_range(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    op = OPERATORS.get("range_specified_field_selector")(
+        field_key="n_chars", lower_percentile=0.25, upper_percentile=0.75,
+        id_key="doc_id",
+    )
+    return op.apply(_t(spark, sf_dir, "documents")).select("doc_id", "n_chars")
+
+
+def _q_selector_tags(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    op = OPERATORS.get("tags_specified_field_selector")(
+        field_key="source", target_tags=["src0", "src3"]
+    )
+    return op.apply(_t(spark, sf_dir, "documents")).select("doc_id", "source")
+
+
+def _q_group_stats(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    op = OPERATORS.get("group_stats_aggregator")(
+        group_keys=["lang"], value_col="n_chars"
+    )
+    return op.apply(_t(spark, sf_dir, "documents"))
+
+
+def _q_grouper_key_value(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    op = OPERATORS.get("key_value_grouper")(group_by_keys=["lang"], id_key="doc_id")
+    df = op.apply(_t(spark, sf_dir, "documents").select("doc_id", "lang"))
+    return df.select("lang", F.array_join(F.transform("doc_id", lambda x: x.cast("string")), ",").alias("doc_ids"))
+
+
+def _q_similarity_topk(spark, sf_dir):
+    from data_juicer_spark.functions.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    emb_d = emb.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    queries = emb_d.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = emb_d.where(F.col("vec_id") >= 5)
+    return brute_force_topk(queries, corpus, k=10).select("q_id", "vec_id", "cos_sim", "rank")
+
+
+def _q_events_hourly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def _q_cdc_last_wins(spark, sf_dir):
+    """Last-event-wins compaction per key — the CDC batch-compaction
+    primitive, demonstrated on the driver's events table keyed by user."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", F.round("value", 4).alias("value"))
+    )
+
+
+def _q_dedup_minhash(spark, sf_dir):
+    """MinHash-LSH near-dup dedup — rows-only check (not SQL-expressible)."""
+    from data_juicer_spark.registry import OPERATORS
+
+    op = OPERATORS.get("document_minhash_deduplicator")(
+        text_key="text", id_key="doc_id", num_permutations=64,
+        jaccard_threshold=0.7,
+    )
+    return op.apply(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+
+
+def _q_quality_score(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    op = OPERATORS.get("text_quality_score_filter")(
+        min_score=0.0, max_score=1.0, text_key="text"
+    )
+    df = op.apply(_t(spark, sf_dir, "documents"))
+    return df.select("doc_id", F.col("stats.quality_score").alias("quality_score"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "filter_text_length": _q_filter_text_length,
+        "filter_words_num": _q_filter_words_num,
+        "filter_alphanumeric": _q_filter_alphanumeric,
+        "filter_avg_line_length": _q_filter_avg_line_length,
+        "filter_max_line_length": _q_filter_max_line_length,
+        "filter_specified_numeric": _q_filter_specified_numeric,
+        "filter_general_field": _q_filter_general_field,
+        "mapper_clean_links": _q_mapper_clean_links,
+        "mapper_remove_long_words": _q_mapper_remove_long_words,
+        "mapper_replace_content": _q_mapper_replace_content,
+        "mapper_sentence_split": _q_mapper_sentence_split,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_exact_lowercase": _q_dedup_exact_lowercase,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "selector_topk": _q_selector_topk,
+        "selector_frequency": _q_selector_frequency,
+        "selector_range": _q_selector_range,
+        "selector_tags": _q_selector_tags,
+        "group_stats": _q_group_stats,
+        "grouper_key_value": _q_grouper_key_value,
+        "similarity_topk": _q_similarity_topk,
+        "events_hourly": _q_events_hourly,
+        "cdc_last_wins": _q_cdc_last_wins,
+        "dedup_minhash": _q_dedup_minhash,
+        "quality_score": _q_quality_score,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# DuckDB oracles (same aliases, same rounding)
+# ---------------------------------------------------------------------------
+
+_WORDS = "list_filter(string_split_regex(text, '[ \\n\\t]'), w -> w <> '')"
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "filter_text_length": """
+            SELECT doc_id, text, length(text) AS text_len
+            FROM documents WHERE length(text) BETWEEN 50 AND 400
+        """,
+        "filter_words_num": f"""
+            SELECT doc_id, len({_WORDS}) AS num_words
+            FROM documents WHERE len({_WORDS}) BETWEEN 20 AND 60
+        """,
+        "filter_alphanumeric": r"""
+            SELECT doc_id, round(alnum / length(text), 6) AS alnum_ratio
+            FROM (
+              SELECT doc_id, text,
+                     CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS DOUBLE) AS alnum
+              FROM documents WHERE length(text) > 0
+            )
+            WHERE alnum / length(text) BETWEEN 0.7 AND 1.0
+        """,
+        "filter_avg_line_length": r"""
+            SELECT doc_id,
+                   round(CAST(length(text) AS DOUBLE) / len(string_split(text, chr(10))), 6)
+                     AS avg_line_length
+            FROM documents
+            WHERE length(text) > 0
+              AND CAST(length(text) AS DOUBLE) / len(string_split(text, chr(10)))
+                  BETWEEN 0 AND 300
+        """,
+        "filter_max_line_length": r"""
+            SELECT doc_id,
+                   list_max(list_transform(string_split(text, chr(10)), x -> length(x)))
+                     AS max_line_length
+            FROM documents
+            WHERE list_max(list_transform(string_split(text, chr(10)), x -> length(x)))
+                  BETWEEN 0 AND 350
+        """,
+        "filter_specified_numeric": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE n_chars BETWEEN 100 AND 300
+        """,
+        "filter_general_field": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE n_chars > 200 AND lang = 'en'
+        """,
+        "mapper_clean_links": r"""
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(text,
+                     '(?i)\b(?:https?|ftp)://[-A-Za-z0-9+&@#/%?=~_|!:,.;]*[-A-Za-z0-9+&@#/%=~_|]',
+                     '', 'g'),
+                     'www\.[-A-Za-z0-9+&@#/%?=~_|!:,.;]*[-A-Za-z0-9+&@#/%=~_|]', '', 'g')
+                   AS text
+            FROM documents
+        """,
+        "mapper_remove_long_words": """
+            SELECT doc_id,
+                   array_to_string(
+                     list_filter(string_split(text, ' '),
+                                 w -> length(w) >= 2 AND length(w) <= 6), ' ') AS text
+            FROM documents
+        """,
+        "mapper_replace_content": """
+            SELECT doc_id, regexp_replace(text, 'spark', 'SPARK', 'g') AS text
+            FROM documents
+        """,
+        "mapper_sentence_split": r"""
+            SELECT doc_id,
+                   regexp_replace(text, '(?<=[.!?。！？])\s+', chr(10), 'g') AS text
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT doc_id, text, lang FROM (
+              SELECT doc_id, text, lang,
+                     row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+              FROM documents
+            ) WHERE rn = 1
+        """,
+        "dedup_exact_lowercase": """
+            SELECT doc_id FROM (
+              SELECT doc_id,
+                     row_number() OVER (PARTITION BY md5(lower(text)) ORDER BY doc_id) AS rn
+              FROM documents
+            ) WHERE rn = 1
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint,
+                   sha256(text) AS sha256
+            FROM documents
+        """,
+        "selector_topk": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id ASC LIMIT 25
+        """,
+        "selector_frequency": """
+            WITH top AS (
+              SELECT lang FROM documents GROUP BY lang
+              ORDER BY count(*) DESC, lang ASC LIMIT 2
+            )
+            SELECT doc_id, lang FROM documents WHERE lang IN (SELECT lang FROM top)
+        """,
+        "selector_range": """
+            SELECT doc_id, n_chars FROM (
+              SELECT doc_id, n_chars,
+                     percent_rank() OVER (ORDER BY n_chars ASC, doc_id ASC) AS pr
+              FROM documents
+            ) WHERE pr >= 0.25 AND pr <= 0.75
+        """,
+        "selector_tags": """
+            SELECT doc_id, source FROM documents WHERE source IN ('src0', 'src3')
+        """,
+        "group_stats": """
+            SELECT lang,
+                   count(n_chars) AS cnt,
+                   round(avg(n_chars), 6) AS avg_val,
+                   min(n_chars) AS min_val,
+                   max(n_chars) AS max_val,
+                   round(stddev_samp(n_chars), 6) AS std_val
+            FROM documents GROUP BY lang
+        """,
+        "grouper_key_value": """
+            SELECT lang,
+                   array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ',')
+                     AS doc_ids
+            FROM documents GROUP BY lang
+        """,
+        "similarity_topk": """
+            WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS embedding
+                       FROM embeddings WHERE vec_id < 5),
+                 c AS (SELECT vec_id, embedding::DOUBLE[] AS embedding
+                       FROM embeddings WHERE vec_id >= 5),
+                 scored AS (
+                   SELECT q.q_id, c.vec_id,
+                          list_dot_product(q.embedding, c.embedding) /
+                          (sqrt(list_dot_product(q.embedding, q.embedding)) *
+                           sqrt(list_dot_product(c.embedding, c.embedding))) AS cos_raw
+                   FROM c CROSS JOIN q
+                 ),
+                 ranked AS (
+                   SELECT q_id, vec_id, round(cos_raw, 6) AS cos_sim,
+                          row_number() OVER (PARTITION BY q_id
+                                             ORDER BY cos_raw DESC, vec_id ASC) AS rank
+                   FROM scored
+                 )
+            SELECT q_id, vec_id, cos_sim, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 10
+        """,
+        "events_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+                   event_type,
+                   count(*) AS cnt,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "cdc_last_wins": """
+            SELECT user_id, event_id, event_type, round(value, 4) AS value FROM (
+              SELECT user_id, event_id, event_type, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "quality_score": f"""
+            SELECT doc_id,
+                   round(
+                     least(length(text) / 1000.0, 1.0) * 0.25 +
+                     (CASE WHEN length(text) = 0 THEN 0.0
+                           ELSE CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS DOUBLE)
+                                / length(text) END) * 0.45 +
+                     least(
+                       (CASE WHEN len({_WORDS}) = 0 THEN 0.0
+                             ELSE CAST(len(list_filter({_WORDS},
+                                    w -> list_contains({_STOPWORDS}, lower(w)))) AS DOUBLE)
+                                  / len({_WORDS}) END) * 4.0,
+                       1.0) * 0.30,
+                   6) AS quality_score
+            FROM documents
+        """,
+        # dedup_minhash: intentionally no oracle (LSH clustering is not
+        # SQL-expressible) — driver records a rows-only check.
+    }
+
+
+_STOPWORDS = (
+    "['the','a','an','and','or','but','if','then','of','in','on','at','to',"
+    "'for','with','by','from','as','is','are','was','were','be','been','it',"
+    "'this','that','these','those','he','she','they','we','you','i','not',"
+    "'no','do','does','did','have','has','had','will','would','can','could',"
+    "'should','my','your','his','her','its','their','our','so','than','too',"
+    "'very','just','about']"
+)

@@ -1,0 +1,85 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline; LSH-bucketed (random
+hyperplane signs) as the scale path — both pure DataFrame plans. The
+dot products run JVM-side via higher-order functions (zip_with +
+aggregate); no Python in the loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 10,
+    q_id: str = "q_id", c_id: str = "vec_id", vec: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query: broadcast the (small) query set,
+    scan the corpus once, per-query window top-k. At 100 TB the corpus
+    scan is embarrassingly parallel; the only shuffle is the per-query
+    top-k (tiny: k rows per query per partition after AQE combine)."""
+    q = queries.select(F.col(q_id), F.col(vec).alias("__qv__"))
+    c = corpus.select(F.col(c_id), F.col(vec).alias("__cv__"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        q_id, c_id, F.round(cosine(F.col("__qv__"), F.col("__cv__")), 6).alias("cos_sim")
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("cos_sim").desc(), F.col(c_id).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def hyperplane_signatures(df: DataFrame, vec: str, dim: int, n_planes: int = 16,
+                          seed: int = 42, out: str = "lsh_bucket") -> DataFrame:
+    """Random-hyperplane LSH bucket id (sign bits packed into a long).
+    Plane matrix is tiny → embedded as literals in one JVM expression."""
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_planes, dim))
+    bucket = F.lit(0).cast("long")
+    col = F.col(vec)
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(float(v)) for v in planes[i]])
+        bit = (dot(col, plane) > 0).cast("long")
+        bucket = bucket + F.shiftleft(bit, i)
+    return df.withColumn(out, bucket)
+
+
+def lsh_topk(
+    queries: DataFrame, corpus: DataFrame, dim: int, k: int = 10,
+    n_planes: int = 12, q_id: str = "q_id", c_id: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: compare only within the query's LSH bucket (equi-join
+    on bucket → shuffle-partitioned by bucket, no cross join). Recall
+    traded for a ~2^n_planes candidate reduction."""
+    qs = hyperplane_signatures(queries, vec, dim, n_planes).select(
+        q_id, F.col(vec).alias("__qv__"), "lsh_bucket"
+    )
+    cs = hyperplane_signatures(corpus, vec, dim, n_planes).select(
+        c_id, F.col(vec).alias("__cv__"), "lsh_bucket"
+    )
+    scored = cs.join(F.broadcast(qs), "lsh_bucket").select(
+        q_id, c_id, F.round(cosine(F.col("__qv__"), F.col("__cv__")), 6).alias("cos_sim")
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("cos_sim").desc(), F.col(c_id).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

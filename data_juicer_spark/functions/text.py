@@ -1,0 +1,134 @@
+"""Scalar text-function vocabulary as Catalyst column-expression builders.
+
+Mirrors the reference helper vocabulary (split_on_whitespace /
+words_refinement / get_words_from_document — /root/reference/data_juicer/
+ops/common/helper_func.py:55-191) with Spark built-ins so the hot path
+stays inside whole-stage codegen. Python-set semantics that Catalyst can't
+express (char-set membership against a large unicode set) live in
+vectorized pandas UDFs in operators/, never per-row Python.
+"""
+
+from __future__ import annotations
+
+import string
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Special characters: punctuation + digits + whitespace + the common
+# extended-unicode set (reference: ops/common/special_characters.py:10-21;
+# we deliberately exclude the emoji list — no emoji dep — documented
+# deviation, irrelevant for source-code payloads).
+OTHER_SPECIAL_CHARACTERS = (
+    "    　    ￼’“”–ー一▬…✦�­£​•€«»°·═"
+    "×士＾˘⇓↓↑←→（）§″′´¿−±∈﻿¢ø‚„½¼¾¹²³―⁃，ˌ¸‹›ʺˈʻ¦‐⠀‰‑≤≥‖"
+    "◆●■►▼▲▴∆▻¡★☆✱ːº。¯˜¥ɪ≈†上ン：∼⁄・♡✓⊕․．⋅÷１‟；،、¨ाাी्े◦˚"
+    "゜ʼ≖ʼ¤ッツシ℃√！【】‿∞➤～πه۩☛₨➩☻๑٪♥ıॽ《‘©﴿٬？▷Г♫∟™ª₪®「—❖"
+    "」﴾》"
+)
+SPECIAL_CHARACTERS = set(
+    string.punctuation + string.digits + string.whitespace + OTHER_SPECIAL_CHARACTERS
+)
+
+# Unicode whitespace variants normalized to 0x20
+# (reference: ops/common/special_characters.py VARIOUS_WHITESPACES).
+VARIOUS_WHITESPACES = {
+    " ", "\t", " ", " ", " ", " ", " ", " ",
+    " ", " ", " ", " ", " ", " ", " ",
+    " ", " ", "　", "᠎", "​", "‌", "‍",
+    "⁠", "﻿", "­", "쯮",
+}
+
+WHITESPACE_SPLIT_RE = r"[ \n\t]"
+
+
+def words(col: Column, new_line: bool = True, tab: bool = True) -> Column:
+    """array<string> of non-empty whitespace-split words
+    (split_on_whitespace semantics, helper_func.py:55-69)."""
+    seps = "[ " + ("\n" if new_line else "") + ("\t" if tab else "") + "]"
+    return F.filter(F.split(col, seps), lambda w: w != "")
+
+
+def num_words(col: Column) -> Column:
+    return F.size(words(col))
+
+
+def lines(col: Column) -> Column:
+    """splitlines()-style: split on \n (trailing empty line dropped like
+    Python splitlines for texts ending in newline)."""
+    arr = F.split(col, "\n")
+    n = F.size(arr)
+    # drop a single trailing "" produced by a terminal newline
+    return F.when(
+        (n > 1) & (F.element_at(arr, -1) == ""), F.slice(arr, 1, n - 1)
+    ).otherwise(arr)
+
+
+def text_len(col: Column) -> Column:
+    return F.length(col)
+
+
+def alnum_count(col: Column) -> Column:
+    """Count of alphanumeric chars. Uses the unicode-aware [:alnum:]-ish
+    class: anything not matched by \\W (word chars incl. _) minus '_',
+    approximated as removing all non [\\p{L}\\p{N}]."""
+    return F.length(F.regexp_replace(col, r"[^\p{L}\p{N}]", ""))
+
+
+def alnum_ratio(col: Column) -> Column:
+    """alnum_count/len (alphanumeric_filter.py:79); 0.0 for empty text."""
+    return F.when(F.length(col) == 0, F.lit(0.0)).otherwise(
+        alnum_count(col) / F.length(col)
+    )
+
+
+def avg_line_length(col: Column) -> Column:
+    """len(text)/num_lines (average_line_length_filter.py:55-58)."""
+    return F.when(F.length(col) == 0, F.lit(0.0)).otherwise(
+        F.length(col) / F.size(lines(col))
+    )
+
+
+def max_line_length(col: Column) -> Column:
+    """max line length (maximum_line_length_filter.py:55)."""
+    return F.coalesce(
+        F.array_max(F.transform(lines(col), lambda x: F.length(x))), F.lit(0)
+    )
+
+
+def special_char_ratio(col: Column) -> Column:
+    """share of chars in SPECIAL_CHARACTERS (special_characters_filter.py:24-62).
+    Catalyst regex char-class built from the same set."""
+    cls = _charclass(SPECIAL_CHARACTERS)
+    return F.when(F.length(col) == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace(col, f"[^{cls}]", "")) / F.length(col)
+    )
+
+
+def _charclass(chars: set) -> str:
+    """Build a java-regex character class from a char set."""
+    out = []
+    for c in sorted(chars):
+        if c in r"\^]-[&":
+            out.append("\\" + c)
+        elif c in "\n\t\r\f\x0b":
+            out.append({"\n": r"\n", "\t": r"\t", "\r": r"\r",
+                        "\f": r"\f", "\x0b": r"\x0B"}[c])
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+def token_count_regex(col: Column) -> Column:
+    """BPE-ish token count: GPT2-style pretokenizer regex pieces."""
+    pat = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+    return F.size(F.regexp_extract_all(col, F.lit(f"({pat})"), 1))
+
+
+def stopword_like_ratio(col: Column, stopwords: list[str]) -> Column:
+    """share of whitespace words (lowercased) found in `stopwords`."""
+    arr = F.array(*[F.lit(s) for s in stopwords])
+    ws = F.transform(words(col), lambda w: F.lower(w))
+    return F.when(F.size(ws) == 0, F.lit(0.0)).otherwise(
+        F.size(F.filter(ws, lambda w: F.array_contains(arr, w))) / F.size(ws)
+    )

@@ -1,0 +1,118 @@
+"""Operator base classes — the six operator kinds of the reference
+(/root/reference/data_juicer/ops/base_op.py:313-750) re-expressed as lazy
+DataFrame transforms.
+
+Design: an op NEVER materializes. ``apply(df)`` adds columns / filters /
+reshapes the lazy plan; a pipeline of N ops is ONE Catalyst-optimized DAG
+(the reference materializes an Arrow cache per op — we deliberately don't).
+
+Filter contract (mirrors base_op.py:407-540 two-phase design):
+  - ``stats_exprs(df) -> dict[stat_name, Column]``: vectorized stat
+    expressions (Catalyst exprs preferred; pandas UDF when genuinely
+    needed). Stats land in a nested ``stats`` struct column so the
+    Analyzer can aggregate them and filters can be fused naturally.
+  - ``keep_expr(df) -> Column[bool]``: the keep decision over stats,
+    equivalent to get_keep_boolean min<=v<=max (base_op.py:476-484).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STATS_COL = "stats"  # our __dj__stats__ (constant.py:18), typed struct
+
+
+class Operator:
+    _op_name = "operator"
+    text_key = "text"
+
+    def __init__(self, text_key: str = "text", **kwargs):
+        self.text_key = text_key
+        self.params = kwargs
+
+    @property
+    def name(self) -> str:
+        return self._op_name
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+    def __repr__(self):
+        return f"{type(self).__name__}({self.params})"
+
+
+class Mapper(Operator):
+    """Row→row text rewrite. Subclasses implement ``expr(col) -> Column``
+    (Catalyst expression) or override ``apply`` for row-expanding maps.
+    """
+
+    def expr(self, col: Column) -> Column:
+        raise NotImplementedError
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(self.text_key, self.expr(F.col(self.text_key)))
+
+
+class Filter(Operator):
+    """Two-phase filter: compute stats, then keep by range."""
+
+    # closed-interval keep bounds, as in base_op.py:427-443
+    min_val: Optional[float] = None
+    max_val: Optional[float] = None
+
+    def stats_exprs(self, df: DataFrame) -> Dict[str, Column]:
+        raise NotImplementedError
+
+    def keep_expr(self, df: DataFrame) -> Column:
+        raise NotImplementedError
+
+    @staticmethod
+    def keep_between(col: Column, lo, hi) -> Column:
+        """min<=v<=max keep decision (get_keep_boolean, base_op.py:476-484)."""
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (col >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (col <= F.lit(hi))
+        return cond
+
+    def compute_stats(self, df: DataFrame) -> DataFrame:
+        """Merge this op's stats into the nested ``stats`` struct column."""
+        new_stats = self.stats_exprs(df)
+        if STATS_COL in df.columns:
+            existing = df.schema[STATS_COL].dataType.fieldNames()
+            fields = [
+                F.col(f"{STATS_COL}.{f}").alias(f)
+                for f in existing
+                if f not in new_stats
+            ]
+        else:
+            fields = []
+        fields += [c.alias(k) for k, c in new_stats.items()]
+        return df.withColumn(STATS_COL, F.struct(*fields))
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return self.compute_stats(df).filter(self.keep_expr(df))
+
+
+class Deduplicator(Operator):
+    """Dataset-level dedup: compute a grouping key, keep first per group
+    (first = min order key, deterministic under shuffle)."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+
+class Selector(Operator):
+    """Global dataset→dataset selection (top-k / range / frequency / random)."""
+
+
+class Grouper(Operator):
+    """Rows → batched rows (group into lists)."""
+
+
+class Aggregator(Operator):
+    """Batched rows → summarized rows (applyInPandas-shaped)."""

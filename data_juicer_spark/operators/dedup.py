@@ -1,0 +1,414 @@
+"""Deduplicators — exact hash, MinHash-LSH (shuffle-native, no actor
+state), SimHash, n-gram Jaccard.
+
+Scale design (the reference's distributed story is BTS union-find over
+Ray actors, ray_bts_minhash_deduplicator.py:57-238; ours is pure
+shuffle): minhash signatures via numpy pandas UDF → band explode →
+groupBy(band) edge extraction (uid → min uid per bucket = star edges)
+→ iterative min-label propagation (converges in O(cluster diameter),
+shallow for LSH stars; each round localCheckpoint'ed to cut lineage)
+→ keep min-uid row per component. Every step is a plain DataFrame
+shuffle, so AQE handles skewed buckets and the job scales by cores.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import struct
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+from data_juicer_spark.operators.base import Deduplicator
+from data_juicer_spark.registry import OPERATORS
+
+MERSENNE_PRIME = np.uint64((1 << 61) - 1)
+MAX_HASH = np.uint64((1 << 32) - 1)
+
+
+def sha1_hash32(data: bytes) -> int:
+    """32-bit sha1 (document_minhash_deduplicator.py:33-44, from datasketch)."""
+    return struct.unpack("<I", hashlib.sha1(data).digest()[:4])[0]
+
+
+def optimal_param(threshold: float, num_perm: int,
+                  fp_weight: float = 0.5, fn_weight: float = 0.5):
+    """Optimal LSH (bands, rows) minimizing weighted FP+FN probability
+    (document_minhash_deduplicator.py:47-96, from datasketch). Numerical
+    integration via numpy trapezoid (no scipy dependency)."""
+
+    def fp_prob(th, b, r):
+        s = np.linspace(0.0, th, 512)
+        return np.trapz(1 - (1 - s ** float(r)) ** float(b), s)
+
+    def fn_prob(th, b, r):
+        s = np.linspace(th, 1.0, 512)
+        return np.trapz(1 - (1 - (1 - s ** float(r)) ** float(b)), s)
+
+    min_error = float("inf")
+    opt = (0, 0)
+    for b in range(1, num_perm + 1):
+        for r in range(1, num_perm // b + 1):
+            err = fp_prob(threshold, b, r) * fp_weight + fn_prob(threshold, b, r) * fn_weight
+            if err < min_error:
+                min_error, opt = err, (b, r)
+    return opt
+
+
+def minhash_permutations(num_perm: int, seed: int = 42):
+    """Identical permutation generation to the reference
+    (document_minhash_deduplicator.py:207-217): RandomState(42) pairs."""
+    gen = np.random.RandomState(seed=seed)
+    pairs = np.array(
+        [
+            (
+                gen.randint(1, MERSENNE_PRIME, dtype=np.uint64),
+                gen.randint(0, MERSENNE_PRIME, dtype=np.uint64),
+            )
+            for _ in range(num_perm)
+        ],
+        dtype=np.uint64,
+    ).T
+    return pairs[0], pairs[1]
+
+
+def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
+                         max_rounds: int = 30) -> DataFrame:
+    """Min-label propagation connected components over an edge DataFrame.
+
+    Returns (node, component) with component = min node id in the
+    component. Pure DataFrame iteration: each round every node adopts the
+    min label among itself and its neighbors; converges in O(diameter)
+    (LSH star edges → usually 2-4 rounds). localCheckpoint per round cuts
+    the lineage so plans stay flat at scale.
+    """
+    sym = edges.selectExpr(f"{src} as a", f"{dst} as b").where("a <> b")
+    sym = sym.union(sym.selectExpr("b as a", "a as b")).distinct()
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        nbr_min = (
+            sym.join(labels, sym["b"] == labels["node"], "inner")
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+                (F.coalesce("nbr_component", F.col("component")) < F.col("component")).alias("changed"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        n_changed = new_labels.where("changed").count()
+        labels = new_labels.drop("changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
+@OPERATORS.register("document_deduplicator")
+class DocumentDeduplicator(Deduplicator):
+    """Exact dedup on md5(text) with lowercase / ignore-non-character
+    options (document_deduplicator.py:30-107). Keep-first = min id_key per
+    hash via a window — deterministic under shuffle (reference keeps the
+    first row scanned; we key 'first' on the explicit order column)."""
+
+    def __init__(self, lowercase: bool = False, ignore_non_character: bool = False,
+                 id_key: Optional[str] = None, **kw):
+        super().__init__(**kw)
+        self.lowercase = lowercase
+        self.ignore_non_character = ignore_non_character
+        self.id_key = id_key
+
+    def hash_expr(self):
+        c = F.col(self.text_key)
+        if self.lowercase:
+            c = F.lower(c)
+        if self.ignore_non_character:
+            c = F.regexp_replace(c, r"\s|\n|[^a-zA-Z0-9一-鿿]", "")
+        return F.md5(c)
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        order_col = self.id_key or df.columns[0]
+        w = Window.partitionBy("__dedup_hash__").orderBy(F.col(order_col).asc())
+        return (
+            df.withColumn("__dedup_hash__", self.hash_expr())
+            .withColumn("__rn__", F.row_number().over(w))
+            .where(F.col("__rn__") == 1)
+            .drop("__dedup_hash__", "__rn__")
+        )
+
+
+@OPERATORS.register("document_minhash_deduplicator")
+class DocumentMinhashDeduplicator(Deduplicator):
+    """MinHash-LSH near-dup removal, identical signature math to the
+    reference (document_minhash_deduplicator.py:219-266: lowercase →
+    shingle window w over space/char/punctuation tokens → sha1_hash32 →
+    (a*h+b) % p & 0xffffffff min per perm; perms from RandomState(42)),
+    but clustering is shuffle-native (see module docstring) instead of an
+    in-memory UnionFind (…py:268-337)."""
+
+    def __init__(self, tokenization: str = "space", window_size: int = 5,
+                 num_permutations: int = 256, jaccard_threshold: float = 0.7,
+                 num_bands: Optional[int] = None, num_rows_per_band: Optional[int] = None,
+                 lowercase: bool = True, ignore_pattern: Optional[str] = None,
+                 id_key: Optional[str] = None, **kw):
+        super().__init__(**kw)
+        self.tokenization = tokenization
+        self.window_size = window_size
+        self.num_perm = num_permutations
+        self.lowercase = lowercase
+        self.ignore_pattern = ignore_pattern
+        self.id_key = id_key
+        if num_bands is None or num_rows_per_band is None:
+            num_bands, num_rows_per_band = optimal_param(jaccard_threshold, num_permutations)
+        self.num_bands = num_bands
+        self.num_rows = num_rows_per_band
+        self.perm_a, self.perm_b = minhash_permutations(num_permutations)
+
+    def _minhash_udf(self):
+        perm_a, perm_b = self.perm_a, self.perm_b
+        num_perm = self.num_perm
+        window = self.window_size
+        tokenization = self.tokenization
+        lowercase = self.lowercase
+        ignore_re = re.compile(self.ignore_pattern) if self.ignore_pattern else None
+        punct_re = re.compile(r"\W")
+
+        @pandas_udf(ArrayType(LongType()))
+        def minhash(s: pd.Series) -> pd.Series:
+            out = []
+            for text in s:
+                text = text or ""
+                if lowercase:
+                    text = text.lower()
+                if ignore_re is not None:
+                    text = ignore_re.sub("", text)
+                if tokenization == "character":
+                    tokens = {
+                        text[i : i + window].encode()
+                        for i in range(len(text) - window + 1)
+                    }
+                elif tokenization == "punctuation":
+                    toks = punct_re.split(text)
+                    tokens = {
+                        " ".join(toks[i : i + window]).encode()
+                        for i in range(len(toks) - window + 1)
+                    }
+                else:  # space
+                    toks = [t for t in re.split(r"[ \n\t]", text) if t]
+                    tokens = {
+                        " ".join(toks[i : i + window]).encode()
+                        for i in range(len(toks) - window + 1)
+                    }
+                if not tokens:
+                    out.append([int(MAX_HASH)] * num_perm)
+                    continue
+                hv = np.fromiter(
+                    (sha1_hash32(t) for t in tokens), dtype=np.uint64, count=len(tokens)
+                )
+                phv = np.bitwise_and(
+                    (hv[:, None] * perm_a + perm_b) % MERSENNE_PRIME, MAX_HASH
+                )
+                out.append(phv.min(axis=0).astype(np.int64).tolist())
+            return pd.Series(out)
+
+        return minhash
+
+    def duplicate_pairs(self, df: DataFrame, order_col: str) -> DataFrame:
+        """(src,dst) star edges: each LSH bucket of size>1 emits
+        (member, min member)."""
+        mh = self._minhash_udf()
+        sig = df.select(F.col(order_col).alias("__uid__"),
+                        mh(F.col(self.text_key)).alias("__minhash__"))
+        bands = sig.select(
+            "__uid__",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {self.num_bands - 1}), "
+                    f"b -> struct(b as band_id, "
+                    f"slice(__minhash__, b * {self.num_rows} + 1, {self.num_rows}) as band_sig))"
+                )
+            ).alias("band"),
+        ).select("__uid__", "band.band_id", F.col("band.band_sig").cast("array<long>").alias("band_sig"))
+        buckets = bands.groupBy("band_id", "band_sig").agg(
+            F.min("__uid__").alias("dst"), F.collect_list("__uid__").alias("members"),
+            F.count("*").alias("n"),
+        )
+        return (
+            buckets.where(F.col("n") > 1)
+            .select(F.explode("members").alias("src"), "dst")
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        order_col = self.id_key or df.columns[0]
+        edges = self.duplicate_pairs(df, order_col)
+        comp = connected_components(edges)
+        # drop rows that belong to a component but are not its min member
+        losers = comp.where(F.col("node") != F.col("component")).select(
+            F.col("node").alias("__loser__")
+        )
+        # plain left_anti: AQE broadcasts the loser set when it's small
+        return df.join(losers, df[order_col] == F.col("__loser__"), "left_anti")
+
+
+@OPERATORS.register("document_simhash_deduplicator")
+class DocumentSimhashDeduplicator(Deduplicator):
+    """SimHash dedup (document_simhash_deduplicator.py:42-237): 64-bit
+    simhash over word shingles; candidate pairs via block permutation
+    (split into hamming_distance+1 blocks — identical block ⇒ candidate),
+    verified by hamming distance, clustered, keep min id."""
+
+    def __init__(self, window_size: int = 6, hamming_distance: int = 4,
+                 lowercase: bool = True, id_key: Optional[str] = None, **kw):
+        super().__init__(**kw)
+        self.window = window_size
+        self.ham = hamming_distance
+        self.lowercase = lowercase
+        self.id_key = id_key
+        self.num_blocks = hamming_distance + 1
+
+    def _simhash_udf(self):
+        window, lowercase = self.window, self.lowercase
+
+        @pandas_udf(LongType())
+        def simhash(s: pd.Series) -> pd.Series:
+            out = np.zeros(len(s), dtype=np.int64)
+            for i, text in enumerate(s):
+                text = (text or "")
+                if lowercase:
+                    text = text.lower()
+                toks = [t for t in re.split(r"[ \n\t]", text) if t]
+                shingles = [
+                    " ".join(toks[j : j + window])
+                    for j in range(max(len(toks) - window + 1, 0))
+                ] or toks or [text]
+                acc = np.zeros(64, dtype=np.int64)
+                for sh in shingles:
+                    h = int.from_bytes(hashlib.md5(sh.encode()).digest()[:8], "little")
+                    bits = (h >> np.arange(64)) & 1
+                    acc += np.where(bits == 1, 1, -1)
+                val = 0
+                for b in range(64):
+                    if acc[b] > 0:
+                        val |= 1 << b
+                out[i] = np.int64(np.uint64(val).astype(np.int64))
+            return pd.Series(out)
+
+        return simhash
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        order_col = self.id_key or df.columns[0]
+        sh = self._simhash_udf()
+        sig = df.select(F.col(order_col).alias("__uid__"),
+                        sh(F.col(self.text_key)).alias("__simhash__"))
+        nb = self.num_blocks
+        width = 64 // nb
+        block_exprs = []
+        for b in range(nb):
+            shift = b * width
+            w = width + (64 % nb if b == nb - 1 else 0)
+            mask = (1 << w) - 1
+            block_exprs.append(
+                F.struct(
+                    F.lit(b).alias("block_id"),
+                    (F.shiftrightunsigned(F.col("__simhash__"), shift)
+                     .bitwiseAND(F.lit(mask))).alias("block_val"),
+                )
+            )
+        blocks = sig.select(
+            "__uid__", "__simhash__", F.explode(F.array(*block_exprs)).alias("blk")
+        ).select("__uid__", "__simhash__", "blk.block_id", "blk.block_val")
+        left = blocks.alias("l")
+        right = blocks.alias("r")
+        ham = self.ham
+        cand = (
+            left.join(
+                right,
+                (F.col("l.block_id") == F.col("r.block_id"))
+                & (F.col("l.block_val") == F.col("r.block_val"))
+                & (F.col("l.__uid__") < F.col("r.__uid__")),
+            )
+            .select(
+                F.col("l.__uid__").alias("src"),
+                F.col("r.__uid__").alias("dst"),
+                F.bit_count(
+                    F.col("l.__simhash__").bitwiseXOR(F.col("r.__simhash__"))
+                ).alias("hd"),
+            )
+            .where(F.col("hd") <= ham)
+            .select("src", "dst")
+            .distinct()
+        )
+        comp = connected_components(cand)
+        losers = comp.where(F.col("node") != F.col("component")).select(
+            F.col("node").alias("__loser__")
+        )
+        return df.join(losers, df[order_col] == F.col("__loser__"), "left_anti")
+
+
+@OPERATORS.register("ngram_jaccard_deduplicator")
+class NgramJaccardDeduplicator(Deduplicator):
+    """NEW (training-data pipeline op): exact n-gram Jaccard near-dup.
+    Candidate pairs from shared rare shingles, verified by true Jaccard
+    over shingle sets — all DataFrame ops (explode + self-join + agg)."""
+
+    def __init__(self, ngram: int = 5, threshold: float = 0.8,
+                 id_key: Optional[str] = None, max_shingle_freq: int = 50, **kw):
+        super().__init__(**kw)
+        self.n = ngram
+        self.threshold = threshold
+        self.id_key = id_key
+        self.max_shingle_freq = max_shingle_freq
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        order_col = self.id_key or df.columns[0]
+        n = self.n
+        words = F.filter(F.split(F.lower(F.col(self.text_key)), r"[ \n\t]"), lambda w: w != "")
+        shingles = F.expr(
+            f"array_distinct(transform(sequence(0, greatest(size(__words__) - {n}, 0)), "
+            f"i -> array_join(slice(__words__, i + 1, {n}), ' ')))"
+        )
+        sh = (
+            df.select(F.col(order_col).alias("__uid__"), words.alias("__words__"))
+            .where(F.size("__words__") >= n)
+            .select("__uid__", F.explode(shingles).alias("shingle"),
+                    F.size(shingles).alias("set_size"))
+        )
+        # drop ultra-common shingles (they only create hot-key candidate noise)
+        rare = sh.groupBy("shingle").count().where(F.col("count") <= self.max_shingle_freq)
+        sh = sh.join(rare.select("shingle"), "shingle")
+        pairs = (
+            sh.alias("a")
+            .join(sh.alias("b"), (F.col("a.shingle") == F.col("b.shingle"))
+                  & (F.col("a.__uid__") < F.col("b.__uid__")))
+            .groupBy(
+                F.col("a.__uid__").alias("src"), F.col("b.__uid__").alias("dst"),
+                F.col("a.set_size").alias("sa"), F.col("b.set_size").alias("sb"),
+            )
+            .agg(F.count("*").alias("inter"))
+            .withColumn("jaccard", F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter")))
+            .where(F.col("jaccard") >= self.threshold)
+            .select("src", "dst")
+        )
+        comp = connected_components(pairs)
+        losers = comp.where(F.col("node") != F.col("component")).select(
+            F.col("node").alias("__loser__")
+        )
+        return df.join(losers, df[order_col] == F.col("__loser__"), "left_anti")

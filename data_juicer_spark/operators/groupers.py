@@ -1,0 +1,99 @@
+"""Groupers + Aggregators.
+
+Groupers batch rows into one row of lists (reference:
+/root/reference/data_juicer/ops/grouper/*); Aggregators summarize a
+batched group (reference aggregators are LLM-API calls — out of scope;
+we ship a deterministic applyInPandas-shaped aggregator instead)."""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_juicer_spark.operators.base import Aggregator, Grouper
+from data_juicer_spark.registry import OPERATORS
+
+
+@OPERATORS.register("naive_grouper")
+class NaiveGrouper(Grouper):
+    """whole dataset → one batched row of lists (naive_grouper.py:22-28).
+    Lists are sorted by id_key so the batched row is deterministic."""
+
+    def __init__(self, id_key: Optional[str] = None, **kw):
+        super().__init__(**kw)
+        self.id_key = id_key
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        order = self.id_key or df.columns[0]
+        aggs = [
+            F.sort_array(F.collect_list(F.struct(F.col(order).alias("_o"), F.col(c).alias("_v"))))
+            ["_v"].alias(c)
+            for c in df.columns
+        ]
+        return df.agg(*aggs)
+
+
+@OPERATORS.register("key_value_grouper")
+class KeyValueGrouper(Grouper):
+    """group rows by key columns into batched rows (key_value_grouper.py:19-51)."""
+
+    def __init__(self, group_by_keys: List[str] = (), id_key: Optional[str] = None, **kw):
+        super().__init__(**kw)
+        self.keys = list(group_by_keys)
+        self.id_key = id_key
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        order = self.id_key or df.columns[0]
+        value_cols = [c for c in df.columns if c not in self.keys]
+        aggs = [
+            F.sort_array(F.collect_list(F.struct(F.col(order).alias("_o"), F.col(c).alias("_v"))))
+            ["_v"].alias(c)
+            for c in value_cols
+        ]
+        return df.groupBy(*self.keys).agg(*aggs)
+
+
+@OPERATORS.register("naive_reverse_grouper")
+class NaiveReverseGrouper(Grouper):
+    """unbatch: batched row → rows (naive_reverse_grouper.py:24-53) via
+    explode(arrays_zip)."""
+
+    def __init__(self, list_cols: Optional[List[str]] = None, **kw):
+        super().__init__(**kw)
+        self.list_cols = list_cols
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql.types import ArrayType
+
+        list_cols = self.list_cols or [
+            f.name for f in df.schema.fields if isinstance(f.dataType, ArrayType)
+        ]
+        others = [c for c in df.columns if c not in list_cols]
+        zipped = F.explode(F.arrays_zip(*[F.col(c) for c in list_cols])).alias("__z__")
+        out = df.select(*others, zipped)
+        return out.select(*others, *[F.col(f"__z__.{c}").alias(c) for c in list_cols])
+
+
+@OPERATORS.register("group_stats_aggregator")
+class GroupStatsAggregator(Aggregator):
+    """NEW deterministic aggregator (the reference's aggregators are
+    LLM-API summarizers, nested_aggregator.py:19-182 — out of scope):
+    per-group numeric summary of a column (count/avg/min/max/stddev),
+    the applyInPandas-shaped contract with a pure-Catalyst fast path."""
+
+    def __init__(self, group_keys: List[str] = (), value_col: str = "", **kw):
+        super().__init__(**kw)
+        self.keys = list(group_keys)
+        self.value_col = value_col
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        v = F.col(self.value_col)
+        return df.groupBy(*self.keys).agg(
+            F.count(v).alias("cnt"),
+            F.round(F.avg(v), 6).alias("avg_val"),
+            F.min(v).alias("min_val"),
+            F.max(v).alias("max_val"),
+            F.round(F.stddev_samp(v), 6).alias("std_val"),
+        )

@@ -1,0 +1,443 @@
+"""Mapper operators (text-cleaning / rewriting) — Catalyst expression
+chains where the semantics are regular, pandas UDFs only for span logic
+regex can't express (clean_copyright's block scanning).
+
+Reference cites are into /root/reference/data_juicer/ops/mapper/.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+from data_juicer_spark.functions import text as T
+from data_juicer_spark.operators.base import Mapper
+from data_juicer_spark.registry import OPERATORS
+
+
+@OPERATORS.register("whitespace_normalization_mapper")
+class WhitespaceNormalizationMapper(Mapper):
+    """strip + map unicode whitespace variants to 0x20
+    (whitespace_normalization_mapper.py:31-39)."""
+
+    def expr(self, col: Column) -> Column:
+        cls = T._charclass(T.VARIOUS_WHITESPACES)
+        return F.regexp_replace(F.trim(col), f"[{cls}]", " ")
+
+
+@OPERATORS.register("punctuation_normalization_mapper")
+class PunctuationNormalizationMapper(Mapper):
+    """unicode punctuation → ASCII (punctuation_normalization_mapper.py:20-68)."""
+
+    UNICODE_PUNCT = {
+        "，": ",", "。": ".", "、": ",", "„": '"', "”": '"', "“": '"',
+        "«": '"', "»": '"', "１": '"', "」": '"', "「": '"', "《": '"',
+        "》": '"', "´": "'", "∶": ":", "：": ":", "？": "?", "！": "!",
+        "（": "(", "）": ")", "；": ";", "–": "-", "—": " - ", "．": ". ",
+        "～": "~", "’": "'", "…": "...", "━": "-", "〈": "<", "〉": ">",
+        "【": "[", "】": "]", "％": "%", "►": "-",
+    }
+
+    def expr(self, col: Column) -> Column:
+        out = col
+        # single-char→single-char pairs via one translate; multi-char via replace
+        one_to_one = [(k, v) for k, v in self.UNICODE_PUNCT.items()
+                      if len(k) == 1 and len(v) == 1]
+        out = F.translate(out, "".join(k for k, _ in one_to_one),
+                          "".join(v for _, v in one_to_one))
+        for k, v in self.UNICODE_PUNCT.items():
+            if len(k) != 1 or len(v) != 1:
+                out = F.replace(out, F.lit(k), F.lit(v))
+        return out
+
+
+@OPERATORS.register("clean_email_mapper")
+class CleanEmailMapper(Mapper):
+    """regex-remove emails (clean_email_mapper.py:21-47)."""
+
+    DEFAULT_PAT = r"[A-Za-z0-9.\-+_]+@[a-z0-9.\-+_]+\.[a-z]+"
+
+    def __init__(self, pattern: str | None = None, repl: str = "", **kw):
+        super().__init__(**kw)
+        self.pattern = pattern or self.DEFAULT_PAT
+        self.repl = repl
+
+    def expr(self, col: Column) -> Column:
+        return F.regexp_replace(col, self.pattern, self.repl)
+
+
+@OPERATORS.register("clean_ip_mapper")
+class CleanIpMapper(Mapper):
+    """regex-remove IPv4/IPv6 (clean_ip_mapper.py:27-56)."""
+
+    DEFAULT_PAT = (
+        r"(?:(?:1[0-9][0-9]\.)|(?:2[0-4][0-9]\.)|(?:25[0-5]\.)|(?:[1-9][0-9]\.)|(?:[0-9]\.))"
+        r"{3}(?:(?:1[0-9][0-9])|(?:2[0-4][0-9])|(?:25[0-5])|(?:[1-9][0-9])|(?:[0-9]))"
+        r"|([\da-fA-F]{1,4}:){7}[\da-fA-F]{1,4}"
+    )
+
+    def __init__(self, pattern: str | None = None, repl: str = "", **kw):
+        super().__init__(**kw)
+        self.pattern = pattern or self.DEFAULT_PAT
+        self.repl = repl
+
+    def expr(self, col: Column) -> Column:
+        return F.regexp_replace(col, self.pattern, self.repl)
+
+
+@OPERATORS.register("clean_links_mapper")
+class CleanLinksMapper(Mapper):
+    """regex-remove URLs/ftp links (clean_links_mapper.py:24-57)."""
+
+    DEFAULT_PAT = (
+        r"(?i)\b(?:https?|ftp)://[-A-Za-z0-9+&@#/%?=~_|!:,.;]*[-A-Za-z0-9+&@#/%=~_|]"
+        r"|www\.[-A-Za-z0-9+&@#/%?=~_|!:,.;]*[-A-Za-z0-9+&@#/%=~_|]"
+    )
+
+    def __init__(self, pattern: str | None = None, repl: str = "", **kw):
+        super().__init__(**kw)
+        self.pattern = pattern or self.DEFAULT_PAT
+        self.repl = repl
+
+    def expr(self, col: Column) -> Column:
+        return F.regexp_replace(col, self.pattern, self.repl)
+
+
+@OPERATORS.register("replace_content_mapper")
+class ReplaceContentMapper(Mapper):
+    """generic pattern→repl chain (replace_content_mapper.py:23-69)."""
+
+    def __init__(self, pattern=None, repl="", **kw):
+        super().__init__(**kw)
+        pats = pattern if isinstance(pattern, list) else [pattern]
+        repls = repl if isinstance(repl, list) else [repl] * len(pats)
+        self.pairs = [(p, r) for p, r in zip(pats, repls) if p]
+
+    def expr(self, col: Column) -> Column:
+        out = col
+        for p, r in self.pairs:
+            out = F.regexp_replace(out, p, r)
+        return out
+
+
+@OPERATORS.register("remove_specific_chars_mapper")
+class RemoveSpecificCharsMapper(Mapper):
+    """delete a given char set (remove_specific_chars_mapper.py:20-43)."""
+
+    def __init__(self, chars_to_remove: str = "◆●■►▼▲▴∆▻▷❖♡□", **kw):
+        super().__init__(**kw)
+        self.chars = chars_to_remove
+
+    def expr(self, col: Column) -> Column:
+        cls = T._charclass(set(self.chars))
+        return F.regexp_replace(col, f"[{cls}]", "")
+
+
+@OPERATORS.register("remove_long_words_mapper")
+class RemoveLongWordsMapper(Mapper):
+    """drop words with len outside [min,max]
+    (remove_long_words_mapper.py:29-60) — higher-order array functions,
+    no Python."""
+
+    def __init__(self, min_len: int = 1, max_len: int = 128, **kw):
+        super().__init__(**kw)
+        self.min_len, self.max_len = min_len, max_len
+
+    def expr(self, col: Column) -> Column:
+        lo, hi = self.min_len, self.max_len
+        kept = F.filter(
+            F.split(col, " "),
+            lambda w: (F.length(w) >= lo) & (F.length(w) <= hi),
+        )
+        return F.array_join(kept, " ")
+
+
+@OPERATORS.register("remove_table_text_mapper")
+class RemoveTableTextMapper(Mapper):
+    """regex-remove ASCII tables with 2..20 columns
+    (remove_table_text_mapper.py:20-48)."""
+
+    def __init__(self, min_col: int = 2, max_col: int = 20, **kw):
+        super().__init__(**kw)
+        self.min_col, self.max_col = min_col, max_col
+
+    def expr(self, col: Column) -> Column:
+        out = col
+        for n in range(self.min_col, self.max_col + 1):
+            pat = r"(?<=\n)((\S+?)([ |\t]+(\S+?)){%d}\n+){2,}" % (n - 1)
+            out = F.regexp_replace(out, pat, "")
+        return out
+
+
+@OPERATORS.register("remove_comments_mapper")
+class RemoveCommentsMapper(Mapper):
+    """remove '%' TeX comments (remove_comments_mapper.py:31-61)."""
+
+    def __init__(self, doc_type: str = "tex", inline: bool = True, multiline: bool = True, **kw):
+        super().__init__(**kw)
+        self.inline, self.multiline = inline, multiline
+
+    def expr(self, col: Column) -> Column:
+        out = col
+        if self.multiline:
+            out = F.regexp_replace(out, r"(?m)^%.*\n?", "")
+        if self.inline:
+            out = F.regexp_replace(out, r"[^\\]%.+$", "")
+        return out
+
+
+@OPERATORS.register("remove_bibliography_mapper")
+class RemoveBibliographyMapper(Mapper):
+    """drop LaTeX bibliography tail (remove_bibliography_mapper.py:21-41)."""
+
+    def expr(self, col: Column) -> Column:
+        pat = r"(?s)(\\appendix|\\begin\{references\}|\\begin\{REFERENCES\}|\\begin\{thebibliography\}|\\bibliography\{.*\}).*$"
+        return F.regexp_replace(col, pat, "")
+
+
+@OPERATORS.register("remove_header_mapper")
+class RemoveHeaderMapper(Mapper):
+    """drop LaTeX header before first section (remove_header_mapper.py:22-54)."""
+
+    def expr(self, col: Column) -> Column:
+        pat = r"(?s)^.*?(?=\\(?:section|chapter|part)\{)"
+        return F.regexp_replace(col, pat, "")
+
+
+@OPERATORS.register("clean_copyright_mapper")
+class CleanCopyrightMapper(Mapper):
+    """strip /*...*/ comment blocks containing 'copyright' + leading
+    //-#---style comment header lines (clean_copyright_mapper.py:10-63,
+    RedPajama code cleaning). Span logic needs a pandas UDF (regex alone
+    can't express 'only if block contains word, only leading lines')."""
+
+    _BLOCK_RE = re.compile(r"/\*[^*]*\*+(?:[^/*][^*]*\*+)*/", re.DOTALL)
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        block_re = self._BLOCK_RE
+
+        @pandas_udf(StringType())
+        def clean(s: pd.Series) -> pd.Series:
+            def one(txt):
+                if txt is None:
+                    return txt
+                m = block_re.search(txt)
+                if m and "copyright" in m.group(0).lower():
+                    txt = txt[: m.start()] + txt[m.end():]
+                lines = txt.split("\n")
+                skip = 0
+                for line in lines[:5]:
+                    stripped = line.strip()
+                    if (stripped.startswith("//") or stripped.startswith("#")
+                            or stripped.startswith("--")) and "copyright" in stripped.lower():
+                        skip += 1
+                    elif skip:
+                        break
+                    else:
+                        break
+                if skip:
+                    txt = "\n".join(lines[skip:])
+                return txt
+
+            return s.map(one)
+
+        return df.withColumn(self.text_key, clean(F.col(self.text_key)))
+
+
+@OPERATORS.register("fix_unicode_mapper")
+class FixUnicodeMapper(Mapper):
+    """unicode normalization (fix_unicode_mapper.py:22-49 uses ftfy;
+    hermetic: NFC/NFKC/NFD/NFKD via unicodedata in an Arrow-batched UDF)."""
+
+    def __init__(self, normalization: str = "NFC", **kw):
+        super().__init__(**kw)
+        form = normalization.upper()
+        if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+            raise ValueError(f"bad normalization {form}")
+        self.form = form
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        form = self.form
+
+        @pandas_udf(StringType())
+        def fix(s: pd.Series) -> pd.Series:
+            import unicodedata
+
+            return s.map(lambda t: unicodedata.normalize(form, t) if t is not None else t)
+
+        return df.withColumn(self.text_key, fix(F.col(self.text_key)))
+
+
+@OPERATORS.register("remove_repeat_sentences_mapper")
+class RemoveRepeatSentencesMapper(Mapper):
+    """dedupe repeated sentences within a doc
+    (remove_repeat_sentences_mapper.py:28-82). Arrow-batched UDF."""
+
+    def __init__(self, lowercase: bool = False, ignore_special_character: bool = True,
+                 min_repeat_sentence_length: int = 2, **kw):
+        super().__init__(**kw)
+        self.lowercase = lowercase
+        self.ignore_special = ignore_special_character
+        self.min_len = min_repeat_sentence_length
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        lower, ignore, min_len = self.lowercase, self.ignore_special, self.min_len
+        strip_re = re.compile(r"[^\w\u4e00-\u9fff]")
+
+        @pandas_udf(StringType())
+        def dedup_sents(s: pd.Series) -> pd.Series:
+            def one(txt):
+                if txt is None:
+                    return txt
+                seen, out = set(), []
+                for line in txt.split("\n"):
+                    parts = re.split(r"(?<=[.!?。！？])\s+", line)
+                    kept = []
+                    for p in parts:
+                        key = p.lower() if lower else p
+                        if ignore:
+                            key = strip_re.sub("", key)
+                        if len(p) < min_len or not key:
+                            kept.append(p)
+                            continue
+                        if key not in seen:
+                            seen.add(key)
+                            kept.append(p)
+                    out.append(" ".join(kept) if kept else "")
+                return "\n".join(out)
+
+            return s.map(one)
+
+        return df.withColumn(self.text_key, dedup_sents(F.col(self.text_key)))
+
+
+@OPERATORS.register("remove_words_with_incorrect_substrings_mapper")
+class RemoveWordsWithIncorrectSubstringsMapper(Mapper):
+    """drop words containing any bad substring
+    (remove_words_with_incorrect_substrings_mapper.py:38-93)."""
+
+    def __init__(self, substrings=None, **kw):
+        super().__init__(**kw)
+        self.substrings = substrings or ["http", "www", ".com", "href", "//"]
+
+    def expr(self, col: Column) -> Column:
+        subs = self.substrings
+
+        def bad(w):
+            c = F.lit(False)
+            for s in subs:
+                c = c | F.contains(w, F.lit(s))
+            return ~c
+        return F.array_join(F.filter(F.split(col, " "), bad), " ")
+
+
+@OPERATORS.register("sentence_split_mapper")
+class SentenceSplitMapper(Mapper):
+    """split into sentences, rejoin with \\n (sentence_split_mapper.py:22-47;
+    regex splitter instead of NLTK — hermetic)."""
+
+    def expr(self, col: Column) -> Column:
+        # insert newline after sentence-final punctuation + space
+        return F.regexp_replace(col, r"(?<=[.!?。！？])\s+", "\n")
+
+
+@OPERATORS.register("text_chunk_mapper")
+class TextChunkMapper(Mapper):
+    """split doc into fixed-size chunks, 1→N rows (text_chunk_mapper.py:35-146).
+    Row-expanding: posexplode over a chunked array — stays in Catalyst."""
+
+    def __init__(self, max_len: int = 2000, overlap_len: int = 0, **kw):
+        super().__init__(**kw)
+        self.max_len = max_len
+        self.overlap = overlap_len
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        step = self.max_len - self.overlap
+        n_chunks = F.greatest(
+            F.ceil((F.length(F.col(self.text_key)) - F.lit(self.overlap)) / F.lit(step)),
+            F.lit(1),
+        ).cast("int")
+        chunks = F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.substring(
+                F.col(self.text_key), (i * step + 1).cast("int"), self.max_len
+            ),
+        )
+        others = [c for c in df.columns if c != self.text_key]
+        return (
+            df.select(*others, F.posexplode(chunks).alias("chunk_id", self.text_key))
+        )
+
+
+@OPERATORS.register("expand_macro_mapper")
+class ExpandMacroMapper(Mapper):
+    """inline-expand LaTeX \\newcommand/\\def macros
+    (expand_macro_mapper.py:31-91). Two-pass regex in a pandas UDF."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        @pandas_udf(StringType())
+        def expand(s: pd.Series) -> pd.Series:
+            def one(txt):
+                if txt is None:
+                    return txt
+                macros = {}
+                for m in re.finditer(
+                    r"\\(?:re)?newcommand\*?\{\\(\w+)\}\{(.+?)\}|\\def\s*\\(\w+)\s*\{(.+?)\}",
+                    txt,
+                ):
+                    name = m.group(1) or m.group(3)
+                    body = m.group(2) or m.group(4)
+                    macros[name] = body
+                for name, body in macros.items():
+                    txt = re.sub(
+                        r"\\" + re.escape(name) + r"(?![a-zA-Z])", body.replace("\\", "\\\\"), txt
+                    )
+                return txt
+
+            return s.map(one)
+
+        return df.withColumn(self.text_key, expand(F.col(self.text_key)))
+
+
+@OPERATORS.register("remove_non_chinese_character_mapper")
+class RemoveNonChineseCharacterMapper(Mapper):
+    """keep CJK (± alpha/number/punct)
+    (remove_non_chinese_character_mapper.py:21-47)."""
+
+    def __init__(self, keep_alphabet: bool = True, keep_number: bool = True,
+                 keep_punc: bool = True, **kw):
+        super().__init__(**kw)
+        pat = "[^\\u4e00-\\u9fa5"
+        if keep_alphabet:
+            pat += "A-Za-z"
+        if keep_number:
+            pat += "0-9"
+        if keep_punc:
+            pat += "., ，、。！？；：“”‘’!?;:'\"()（）"
+        self.pattern = pat + "]"
+
+    def expr(self, col: Column) -> Column:
+        return F.regexp_replace(col, self.pattern, "")
+
+
+@OPERATORS.register("python_lambda_mapper")
+class PythonLambdaMapper(Mapper):
+    """user-supplied vectorized lambda over the text column — the UDF
+    escape hatch (python_lambda_mapper.py:19-77). The lambda receives and
+    returns a pandas.Series (Arrow-batched), never per-row."""
+
+    def __init__(self, fn=None, **kw):
+        super().__init__(**kw)
+        if fn is None:
+            raise ValueError("python_lambda_mapper requires fn: Series -> Series")
+        self.fn = fn
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        fn = self.fn
+        udf = pandas_udf(StringType())(lambda s: fn(s))
+        return df.withColumn(self.text_key, udf(F.col(self.text_key)))

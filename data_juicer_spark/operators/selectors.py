@@ -1,0 +1,131 @@
+"""Selectors — global dataset→dataset selection.
+
+Reference cites into /root/reference/data_juicer/ops/selector/. All are
+pure Catalyst plans (orderBy/limit, window ranks, group top-k semi-join,
+seeded sample) — no Python in the path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_juicer_spark.operators.base import Selector
+from data_juicer_spark.registry import OPERATORS
+
+
+def _resolve(field_key: str):
+    """'stats.text_len'-style nested keys resolve naturally via F.col."""
+    return F.col(field_key)
+
+
+@OPERATORS.register("topk_specified_field_selector")
+class TopkSpecifiedFieldSelector(Selector):
+    """top-k (or top-ratio) rows by a (nested) field
+    (topk_specified_field_selector.py:55-94). Deterministic tiebreak on
+    id_key so results are stable under shuffle."""
+
+    def __init__(self, field_key: str = "", topk: Optional[int] = None,
+                 top_ratio: Optional[float] = None, reverse: bool = True,
+                 id_key: Optional[str] = None, **kw):
+        super().__init__(**kw)
+        self.field_key = field_key
+        self.topk = topk
+        self.top_ratio = top_ratio
+        self.reverse = reverse  # True = descending (largest first)
+        self.id_key = id_key
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        k = self.topk
+        if k is None:
+            n = df.count()
+            k = max(int(n * (self.top_ratio or 1.0)), 1)
+        col = _resolve(self.field_key)
+        order = [col.desc() if self.reverse else col.asc()]
+        if self.id_key:
+            order.append(F.col(self.id_key).asc())
+        # global top-k: Spark's orderBy+limit compiles to TakeOrderedAndProject
+        # (per-partition heap + driver merge — no full sort shuffle).
+        return df.orderBy(*order).limit(k)
+
+
+@OPERATORS.register("frequency_specified_field_selector")
+class FrequencySpecifiedFieldSelector(Selector):
+    """keep rows whose field value is among the top-k most frequent
+    (frequency_specified_field_selector.py:52-93)."""
+
+    def __init__(self, field_key: str = "", topk: Optional[int] = None,
+                 top_ratio: Optional[float] = None, **kw):
+        super().__init__(**kw)
+        self.field_key = field_key
+        self.topk = topk
+        self.top_ratio = top_ratio
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        col = _resolve(self.field_key)
+        freq = df.groupBy(col.alias("__fv__")).count()
+        k = self.topk
+        if k is None:
+            n = freq.count()
+            k = max(int(n * (self.top_ratio or 1.0)), 1)
+        top = freq.orderBy(F.col("count").desc(), F.col("__fv__").asc()).limit(k)
+        # broadcast semi-join: top-k value set is tiny by construction
+        return df.join(
+            F.broadcast(top.select("__fv__")), col == F.col("__fv__"), "left_semi"
+        )
+
+
+@OPERATORS.register("range_specified_field_selector")
+class RangeSpecifiedFieldSelector(Selector):
+    """keep the percentile window [lower,upper] of the sorted field
+    (range_specified_field_selector.py:64-117) via percent_rank."""
+
+    def __init__(self, field_key: str = "", lower_percentile: float = 0.0,
+                 upper_percentile: float = 1.0, id_key: Optional[str] = None, **kw):
+        super().__init__(**kw)
+        self.field_key = field_key
+        self.lo, self.hi = lower_percentile, upper_percentile
+        self.id_key = id_key
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        col = _resolve(self.field_key)
+        order = [col.asc()] + ([F.col(self.id_key).asc()] if self.id_key else [])
+        w = Window.orderBy(*order)
+        return (
+            df.withColumn("__pr__", F.percent_rank().over(w))
+            .where((F.col("__pr__") >= self.lo) & (F.col("__pr__") <= self.hi))
+            .drop("__pr__")
+        )
+
+
+@OPERATORS.register("random_selector")
+class RandomSelector(Selector):
+    """uniform sample by ratio or count (random_selector.py:23-60),
+    seeded for determinism."""
+
+    def __init__(self, select_ratio: Optional[float] = None,
+                 select_num: Optional[int] = None, seed: int = 42, **kw):
+        super().__init__(**kw)
+        self.ratio = select_ratio
+        self.num = select_num
+        self.seed = seed
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        if self.ratio is not None:
+            return df.sample(fraction=self.ratio, seed=self.seed)
+        return df.orderBy(F.rand(self.seed)).limit(self.num or 0)
+
+
+@OPERATORS.register("tags_specified_field_selector")
+class TagsSpecifiedFieldSelector(Selector):
+    """keep rows whose field ∈ tag set (tags_specified_field_selector.py)."""
+
+    def __init__(self, field_key: str = "", target_tags=(), **kw):
+        super().__init__(**kw)
+        self.field_key = field_key
+        self.tags = list(target_tags)
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return df.filter(_resolve(self.field_key).isin(self.tags))

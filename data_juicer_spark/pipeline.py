@@ -1,0 +1,67 @@
+"""Pipeline — compiles a Data-Juicer-style YAML/dict recipe into ONE lazy
+DataFrame transform chain.
+
+The reference executes a sequential for-loop over ops, materializing an
+Arrow cache per op (/root/reference/data_juicer/core/data/dj_dataset.py:
+254-349). We instead fold all ops into a single DAG so Catalyst sees the
+whole plan: native-expr filters get pushed ahead of Python stages
+automatically, adjacent projections collapse, and the job runs as a few
+whole-stage-codegen'd stages instead of N materialized passes.
+
+Operator-level stats (kept/dropped counts — the Analyzer/Tracer mirror,
+core/monitor.py, core/tracer.py) are collected with `observe()` named
+metrics, which ride the same action instead of forcing extra passes.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.observation import Observation
+
+from data_juicer_spark.registry import load_ops
+
+
+class Pipeline:
+    def __init__(self, process: List[dict], observe: bool = False):
+        """process: list of {op_name: kwargs} dicts (the reference's IR,
+        config.py:867+). observe=True attaches per-op row observers."""
+        self.ops = load_ops(process)
+        self.observe = observe
+        self.observations: dict[str, Observation] = {}
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        return self.apply(df)
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        self.observations = {}
+        for i, op in enumerate(self.ops):
+            if self.observe:
+                obs = Observation(f"{i:02d}_{op.name}_in")
+                df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+                self.observations[f"{i:02d}_{op.name}_in"] = obs
+            df = op.apply(df)
+        if self.observe and self.ops:
+            obs = Observation("zz_out")
+            df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+            self.observations["zz_out"] = obs
+        return df
+
+    def op_stats(self) -> dict[str, int]:
+        """Row counts seen at each op boundary (valid after an action)."""
+        return {k: v.get["rows"] for k, v in self.observations.items()}
+
+
+def from_yaml(path_or_str: str, observe: bool = False) -> Pipeline:
+    """Load a recipe from YAML: top-level `process:` list, same layout as
+    the reference's config files (configs/*.yaml)."""
+    import yaml
+
+    try:
+        with open(path_or_str) as f:
+            cfg = yaml.safe_load(f)
+    except (OSError, FileNotFoundError):
+        cfg = yaml.safe_load(path_or_str)
+    return Pipeline(cfg["process"], observe=observe)

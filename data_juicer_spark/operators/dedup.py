@@ -216,7 +216,8 @@ class DocumentMinhashDeduplicator(Deduplicator):
                         for i in range(len(toks) - window + 1)
                     }
                 if not tokens:
-                    out.append([int(MAX_HASH)] * num_perm)
+                    # no shingles → no dedup signal; excluded from banding
+                    out.append(None)
                     continue
                 hv = np.fromiter(
                     (sha1_hash32(t) for t in tokens), dtype=np.uint64, count=len(tokens)
@@ -233,8 +234,10 @@ class DocumentMinhashDeduplicator(Deduplicator):
         """(src,dst) star edges: each LSH bucket of size>1 emits
         (member, min member)."""
         mh = self._minhash_udf()
-        sig = df.select(F.col(order_col).alias("__uid__"),
-                        mh(F.col(self.text_key)).alias("__minhash__"))
+        sig = df.select(
+            F.col(order_col).alias("__uid__"),
+            mh(F.col(self.text_key)).alias("__minhash__"),
+        ).where(F.col("__minhash__").isNotNull())
         bands = sig.select(
             "__uid__",
             F.explode(
@@ -301,8 +304,10 @@ class DocumentSimhashDeduplicator(Deduplicator):
                 ] or toks or [text]
                 acc = np.zeros(64, dtype=np.int64)
                 for sh in shingles:
-                    h = int.from_bytes(hashlib.md5(sh.encode()).digest()[:8], "little")
-                    bits = (h >> np.arange(64)) & 1
+                    digest = hashlib.md5(sh.encode()).digest()[:8]
+                    bits = np.unpackbits(
+                        np.frombuffer(digest, dtype=np.uint8), bitorder="little"
+                    )
                     acc += np.where(bits == 1, 1, -1)
                 val = 0
                 for b in range(64):

@@ -1,0 +1,223 @@
+"""CDC-invariant tests (FIXTURES.md F5) + pipeline parity vs a pandas
+oracle (F4)."""
+
+import hashlib
+import re
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_juicer_spark.cdc.events import generate_events
+from data_juicer_spark.cdc.replay import CdcReplayer
+from data_juicer_spark.lake.table import SnapshotTable
+from data_juicer_spark.pipeline import Pipeline
+
+
+@pytest.fixture()
+def tmp_root():
+    d = tempfile.mkdtemp(prefix="lake_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def make_events(spark, n=2000, batch=500):
+    return generate_events(spark, n, batch_size=batch, n_repos=10, n_paths=60)
+
+
+def table_state(spark, table):
+    df = table.read()
+    if df is None:
+        return {}
+    rows = df.select("repo", "path", F.sha2("content", 256).alias("h")).collect()
+    return {(r["repo"], r["path"]): r["h"] for r in rows}
+
+
+def pandas_oracle_state(spark, events_df, pipeline_fns=None):
+    """Replay in plain pandas: last event per key by seq wins; D deletes;
+    then apply the same operator math row-wise."""
+    pdf = events_df.toPandas().sort_values("seq")
+    state = {}
+    for _, r in pdf.iterrows():
+        key = (r["repo"], r["path"])
+        if r["op"] == "D":
+            state.pop(key, None)
+        else:
+            state[key] = r["content"]
+    if pipeline_fns:
+        out = {}
+        for k, content in state.items():
+            for fn in pipeline_fns:
+                content = fn(content)
+                if content is None:
+                    break
+            if content is not None:
+                out[k] = content
+        state = out
+    return {
+        k: hashlib.sha256(v.encode()).hexdigest() for k, v in state.items()
+    }
+
+
+def test_delete_semantics_last_wins(spark, tmp_root):
+    events = make_events(spark, 2000, 500).persist()
+    table = SnapshotTable(spark, tmp_root, ["repo", "path"], num_buckets=8)
+    CdcReplayer(table).replay(events)
+    assert table_state(spark, table) == pandas_oracle_state(spark, events)
+    events.unpersist()
+
+
+def test_exactly_once_redelivery(spark, tmp_root):
+    events = make_events(spark, 1500, 500).persist()
+    table = SnapshotTable(spark, tmp_root, ["repo", "path"], num_buckets=8)
+    rep = CdcReplayer(table)
+    rep.replay(events)
+    state1 = table_state(spark, table)
+    snaps1 = len(table.snapshot_history())
+    # re-deliver epochs 1 and 2 wholesale
+    for ep in (1, 2):
+        st = rep.apply_epoch(events.where(F.col("epoch") == ep), ep)
+        assert st.skipped
+    assert table_state(spark, table) == state1
+    assert len(table.snapshot_history()) == snaps1
+    events.unpersist()
+
+
+def test_resume_from_checkpoint(spark, tmp_root):
+    events = make_events(spark, 2000, 400).persist()
+    # uninterrupted replay
+    t_full = SnapshotTable(spark, tmp_root + "/full", ["repo", "path"], num_buckets=8)
+    CdcReplayer(t_full).replay(events)
+    # interrupted: stop after epoch 2, then new replayer resumes
+    t_part = SnapshotTable(spark, tmp_root + "/part", ["repo", "path"], num_buckets=8)
+    CdcReplayer(t_part).replay(events, end_epoch=2)
+    assert t_part.current_epoch() == 2
+    CdcReplayer(t_part).replay(events)  # resume: start defaults to epoch 3
+    assert table_state(spark, t_full) == table_state(spark, t_part)
+    events.unpersist()
+
+
+def test_schema_evolution_midstream(spark, tmp_root):
+    table = SnapshotTable(spark, tmp_root, ["repo", "path"], num_buckets=4)
+    base = spark.createDataFrame(
+        [("r1", "a.py", "print(1)"), ("r1", "b.py", "print(2)")],
+        ["repo", "path", "content"],
+    )
+    table.merge(base, None, epoch=0)
+    # epoch 1 arrives with new columns lang + stats
+    evolved = spark.createDataFrame(
+        [("r1", "a.py", "print(3)", "python", 8)],
+        ["repo", "path", "content", "lang", "text_len"],
+    )
+    table.merge(evolved, None, epoch=1)
+    rows = {r["path"]: r for r in table.read().collect()}
+    assert rows["a.py"]["lang"] == "python" and rows["a.py"]["text_len"] == 8
+    assert rows["b.py"]["lang"] is None and rows["b.py"]["text_len"] is None
+    assert rows["b.py"]["content"] == "print(2)"  # untouched key preserved
+
+
+def test_merge_rewrites_only_changed_buckets(spark, tmp_root):
+    table = SnapshotTable(spark, tmp_root, ["repo", "path"], num_buckets=16)
+    base = spark.createDataFrame(
+        [("r1", f"f{i}.py", f"c{i}") for i in range(200)],
+        ["repo", "path", "content"],
+    )
+    table.merge(base, None, epoch=0)
+    one = spark.createDataFrame([("r1", "f0.py", "NEW")], ["repo", "path", "content"])
+    m = table.merge(one, None, epoch=1)
+    assert len(m["rewritten_buckets"]) == 1  # only f0.py's bucket rewritten
+    state = {r["path"]: r["content"] for r in table.read().collect()}
+    assert state["f0.py"] == "NEW" and state["f1.py"] == "c1" and len(state) == 200
+
+
+def test_hot_key_skew_parity(spark, tmp_root):
+    # ~45% of events on one repo (generator default)
+    events = make_events(spark, 3000, 1000).persist()
+    hot = events.groupBy("repo").count().orderBy(F.desc("count")).first()
+    assert hot["count"] > 1000  # skew actually present
+    table = SnapshotTable(spark, tmp_root, ["repo", "path"], num_buckets=8)
+    CdcReplayer(table, salt_buckets=8).replay(events)  # salted compaction path
+    assert table_state(spark, table) == pandas_oracle_state(spark, events)
+    events.unpersist()
+
+
+# --- F4: full pipeline parity vs pandas oracle ------------------------------
+
+EMAIL_RE = re.compile(r"[A-Za-z0-9.\-+_]+@[a-z0-9.\-+_]+\.[a-z]+")
+LINK_RE = re.compile(
+    r"(?i)\b(?:https?|ftp)://[-A-Za-z0-9+&@#/%?=~_|!:,.;]*[-A-Za-z0-9+&@#/%=~_|]"
+    r"|www\.[-A-Za-z0-9+&@#/%?=~_|!:,.;]*[-A-Za-z0-9+&@#/%=~_|]"
+)
+BLOCK_RE = re.compile(r"/\*[^*]*\*+(?:[^/*][^*]*\*+)*/", re.DOTALL)
+
+
+def _oracle_clean_copyright(txt):
+    m = BLOCK_RE.search(txt)
+    if m and "copyright" in m.group(0).lower():
+        txt = txt[: m.start()] + txt[m.end():]
+    lines = txt.split("\n")
+    skip = 0
+    for line in lines[:5]:
+        s = line.strip()
+        if (s.startswith("//") or s.startswith("#") or s.startswith("--")) \
+                and "copyright" in s.lower():
+            skip += 1
+        else:
+            break
+    if skip:
+        txt = "\n".join(lines[skip:])
+    return txt
+
+
+def _oracle_clean_email(txt):
+    return EMAIL_RE.sub("", txt)
+
+
+def _oracle_clean_links(txt):
+    return LINK_RE.sub("", txt)
+
+
+def _oracle_len_filter(txt):
+    return txt if 20 <= len(txt) else None
+
+
+def test_pipeline_parity_with_pandas_oracle(spark, tmp_root):
+    events = make_events(spark, 2500, 500).persist()
+    pipe = Pipeline([
+        {"clean_copyright_mapper": {"text_key": "content"}},
+        {"clean_email_mapper": {"text_key": "content"}},
+        {"clean_links_mapper": {"text_key": "content"}},
+        {"text_length_filter": {"min_len": 20, "max_len": 10**9, "text_key": "content"}},
+    ])
+    table = SnapshotTable(spark, tmp_root, ["repo", "path"], num_buckets=8)
+    CdcReplayer(table, pipeline=pipe).replay(events)
+    got = table_state(spark, table)
+    want = pandas_oracle_state(
+        spark, events,
+        pipeline_fns=[_oracle_clean_copyright, _oracle_clean_email,
+                      _oracle_clean_links, _oracle_len_filter],
+    )
+    assert got == want
+    events.unpersist()
+
+
+def test_filtered_rows_are_deleted_from_lake(spark, tmp_root):
+    table = SnapshotTable(spark, tmp_root, ["repo", "path"], num_buckets=4)
+    pipe = Pipeline([
+        {"text_length_filter": {"min_len": 5, "max_len": 10**9, "text_key": "content"}},
+    ])
+    rep = CdcReplayer(table, pipeline=pipe)
+    e0 = spark.createDataFrame(
+        [(0, 0, "I", "r", "a.py", "c" * 40, "py", "long enough content")],
+        ["seq", "epoch", "op", "repo", "path", "commit", "lang", "content"],
+    )
+    rep.apply_epoch(e0, 0)
+    assert len(table_state(spark, table)) == 1
+    # update shrinks content below the quality gate -> key must vanish
+    e1 = spark.createDataFrame(
+        [(1, 1, "U", "r", "a.py", "d" * 40, "py", "tiny")],
+        ["seq", "epoch", "op", "repo", "path", "commit", "lang", "content"],
+    )
+    rep.apply_epoch(e1, 1)
+    assert table_state(spark, table) == {}

@@ -1,0 +1,161 @@
+"""Operator-level golden tests — same pattern as the reference's unit
+tests (tests/ops/filter/test_text_length_filter.py:26-48: explicit rows
+in, explicit surviving rows out)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_juicer_spark.registry import OPERATORS
+import data_juicer_spark.operators  # noqa: F401
+
+
+def make_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["id", "text"]
+    )
+
+
+def kept_ids(df):
+    return sorted(r["id"] for r in df.select("id").collect())
+
+
+def test_text_length_filter(spark):
+    # mirrors reference keep/drop semantics: keep 10 <= len <= 50
+    texts = [
+        "short",                               # 5  -> drop
+        "a" * 10,                              # 10 -> keep (closed interval)
+        "this is a medium length sentence.",   # 33 -> keep
+        "x" * 50,                              # 50 -> keep
+        "y" * 51,                              # 51 -> drop
+    ]
+    op = OPERATORS.get("text_length_filter")(min_len=10, max_len=50)
+    out = op.apply(make_df(spark, texts))
+    assert kept_ids(out) == [1, 2, 3]
+    stats = {r["id"]: r["stats"]["text_len"] for r in out.collect()}
+    assert stats == {1: 10, 2: 33, 3: 50}
+
+
+def test_words_num_filter(spark):
+    texts = ["one two three", "a b c d e f", "single", "sp\nlit\tby all"]
+    op = OPERATORS.get("words_num_filter")(min_num=3, max_num=5)
+    out = op.apply(make_df(spark, texts))
+    # "sp\nlit\tby all" splits on space/newline/tab -> 4 words
+    assert kept_ids(out) == [0, 3]
+
+
+def test_alphanumeric_filter(spark):
+    texts = ["abc123", "!!!???", "half! half"]
+    op = OPERATORS.get("alphanumeric_filter")(min_ratio=0.5, max_ratio=1.0)
+    out = op.apply(make_df(spark, texts))
+    assert kept_ids(out) == [0, 2]
+    ratios = {r["id"]: r["stats"]["alnum_ratio"] for r in out.collect()}
+    assert ratios[0] == 1.0
+    assert abs(ratios[2] - 8 / 10) < 1e-9
+
+
+def test_line_length_filters(spark):
+    texts = ["aaaa\nbb", "cccccc\ncccccc\ncccccc"]
+    avg_op = OPERATORS.get("average_line_length_filter")(min_len=0, max_len=4)
+    out = avg_op.apply(make_df(spark, texts))
+    # len("aaaa\nbb")=7 / 2 lines = 3.5 <= 4 keep; 20/3=6.67 drop
+    assert kept_ids(out) == [0]
+    max_op = OPERATORS.get("maximum_line_length_filter")(min_len=5, max_len=100)
+    out2 = max_op.apply(make_df(spark, texts))
+    assert kept_ids(out2) == [1]
+
+
+def test_trailing_newline_matches_python_splitlines(spark):
+    # "a\nb\n".splitlines() == ["a","b"]: avg = 4/2 = 2.0
+    op = OPERATORS.get("average_line_length_filter")(min_len=0, max_len=1000)
+    out = op.apply(make_df(spark, ["a\nb\n"]))
+    assert out.collect()[0]["stats"]["avg_line_length"] == pytest.approx(4 / 2)
+
+
+def test_special_characters_filter(spark):
+    texts = ["plainwords", "!!!###$$$", "half$ text"]
+    op = OPERATORS.get("special_characters_filter")(min_ratio=0.0, max_ratio=0.3)
+    out = op.apply(make_df(spark, texts))
+    assert kept_ids(out) == [0, 2]
+
+
+def test_character_repetition_filter(spark):
+    # reference math: ratio of top-sqrt(distinct) 10-gram mass
+    # cyclic string: 10 distinct 10-grams, each ~30x -> top-sqrt(10)=3 grams
+    # hold 3/10 of the mass -> ratio ~0.30 (the reference formula caps the
+    # numerator at sqrt(#distinct) grams)
+    rep = "abcdefghij" * 30
+    uniq = "the quick brown fox jumps over the lazy dog once"
+    op = OPERATORS.get("character_repetition_filter")(rep_len=10, min_ratio=0.0, max_ratio=0.2)
+    df = op.compute_stats(make_df(spark, [rep, uniq]))
+    ratios = {r["id"]: r["stats"]["char_rep_ratio"] for r in df.collect()}
+    assert 0.25 < ratios[0] < 0.35
+    assert ratios[1] == 0.0
+    assert kept_ids(op.apply(make_df(spark, [rep, uniq]))) == [1]
+
+
+def test_word_repetition_filter(spark):
+    rep = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6).strip()
+    # NB: words_refinement strips trailing digits (special chars), so use
+    # purely alphabetic unique words
+    uniq = " ".join(chr(97 + i // 26) + chr(97 + i % 26) + "x" for i in range(40))
+    op = OPERATORS.get("word_repetition_filter")(rep_len=10, min_ratio=0.0, max_ratio=0.5)
+    out = op.apply(make_df(spark, [rep, uniq]))
+    assert kept_ids(out) == [1]
+
+
+def test_stopwords_filter(spark):
+    op = OPERATORS.get("stopwords_filter")(min_ratio=0.3)
+    texts = ["the cat is on the mat", "lorem ipsum dolor sit amet"]
+    out = op.apply(make_df(spark, texts))
+    assert kept_ids(out) == [0]
+
+
+def test_language_id_score_filter(spark):
+    texts = [
+        "the cat is in the house and it is warm",
+        "el gato que vive en la casa es de los vecinos",
+        "qqq zzz xxx",
+    ]
+    op = OPERATORS.get("language_id_score_filter")(lang="en", min_score=0.3)
+    out = op.apply(make_df(spark, texts))
+    assert kept_ids(out) == [0]
+    op_es = OPERATORS.get("language_id_score_filter")(lang="es", min_score=0.3)
+    assert kept_ids(op_es.apply(make_df(spark, texts))) == [1]
+
+
+def test_perplexity_filter(spark):
+    texts = ["the weather here is rather nice in the summer", "zqxjkv wqzxv qqqq"]
+    op = OPERATORS.get("perplexity_filter")(max_ppl=100)
+    out = op.apply(make_df(spark, texts))
+    assert kept_ids(out) == [0]
+
+
+def test_suffix_and_field_filters(spark):
+    df = spark.createDataFrame(
+        [(0, "a.py", "x", 5), (1, "b.md", "y", 15), (2, "c.py", "x", 25)],
+        ["id", "suffix", "cat", "num"],
+    )
+    assert kept_ids(
+        OPERATORS.get("suffix_filter")(suffixes=["a.py", "c.py"]).apply(df)
+    ) == [0, 2]
+    assert kept_ids(
+        OPERATORS.get("specified_field_filter")(field_key="cat", target_value=["x"]).apply(df)
+    ) == [0, 2]
+    assert kept_ids(
+        OPERATORS.get("specified_numeric_field_filter")(
+            field_key="num", min_value=10, max_value=20
+        ).apply(df)
+    ) == [1]
+    assert kept_ids(
+        OPERATORS.get("general_field_filter")(filter_condition="num > 10 and cat = 'x'").apply(df)
+    ) == [2]
+
+
+def test_stats_struct_accumulates(spark):
+    df = make_df(spark, ["hello world this is text", "tiny"])
+    f1 = OPERATORS.get("text_length_filter")(min_len=1, max_len=1000)
+    f2 = OPERATORS.get("words_num_filter")(min_num=1, max_num=1000)
+    out = f2.apply(f1.apply(df))
+    row = out.where(F.col("id") == 0).collect()[0]
+    assert row["stats"]["text_len"] == 24
+    assert row["stats"]["num_words"] == 5

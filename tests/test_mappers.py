@@ -1,0 +1,125 @@
+"""Mapper golden tests — input/expected string pairs per op, mirroring
+the reference's tests/ops/mapper pattern."""
+
+import data_juicer_spark.operators  # noqa: F401
+from data_juicer_spark.registry import OPERATORS
+
+
+def run_mapper(spark, name, texts, **params):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["id", "text"])
+    out = OPERATORS.get(name)(**params).apply(df)
+    return [r["text"] for r in out.orderBy("id").collect()]
+
+
+def test_whitespace_normalization(spark):
+    assert run_mapper(spark, "whitespace_normalization_mapper",
+                      ["  hello world ! ", "a\tb"]) == \
+        ["hello world !", "a b"]
+
+
+def test_punctuation_normalization(spark):
+    assert run_mapper(spark, "punctuation_normalization_mapper",
+                      ["hello，world。", "“quoted”…"]) == \
+        ["hello,world.", '"quoted"...']
+
+
+def test_clean_email(spark):
+    assert run_mapper(spark, "clean_email_mapper",
+                      ["contact me at dev@example.com now"]) == \
+        ["contact me at  now"]
+
+
+def test_clean_ip(spark):
+    assert run_mapper(spark, "clean_ip_mapper",
+                      ["ping 192.168.1.100 ok"]) == ["ping  ok"]
+
+
+def test_clean_links(spark):
+    assert run_mapper(spark, "clean_links_mapper",
+                      ["see https://example.com/a?b=1 and www.test.org rest"]) == \
+        ["see  and  rest"]
+
+
+def test_clean_copyright(spark):
+    code = "/* Copyright (c) 2020 ACME */\nint main() { return 0; }\n"
+    out = run_mapper(spark, "clean_copyright_mapper", [code])
+    assert "Copyright" not in out[0]
+    assert "int main()" in out[0]
+    # comment header lines
+    code2 = "# copyright acme corp\nprint('hi')\n"
+    out2 = run_mapper(spark, "clean_copyright_mapper", [code2])
+    assert out2[0] == "print('hi')\n"
+    # non-copyright block comments survive
+    code3 = "/* keep this */\nint x;\n"
+    assert run_mapper(spark, "clean_copyright_mapper", [code3])[0] == code3
+
+
+def test_remove_long_words(spark):
+    assert run_mapper(spark, "remove_long_words_mapper",
+                      ["a bb ccc dddd eeeee"], min_len=2, max_len=4) == \
+        ["bb ccc dddd"]
+
+
+def test_replace_content(spark):
+    assert run_mapper(spark, "replace_content_mapper",
+                      ["foo bar foo"], pattern="foo", repl="baz") == \
+        ["baz bar baz"]
+    assert run_mapper(spark, "replace_content_mapper",
+                      ["a1b2"], pattern=[r"\d", "b"], repl=["", "X"]) == ["aX"]
+
+
+def test_remove_specific_chars(spark):
+    assert run_mapper(spark, "remove_specific_chars_mapper",
+                      ["a◆b●c"], chars_to_remove="◆●") == ["abc"]
+
+
+def test_fix_unicode(spark):
+    # NFKC folds the ﬁ ligature
+    assert run_mapper(spark, "fix_unicode_mapper", ["ﬁle"], normalization="NFKC") == ["file"]
+
+
+def test_sentence_split(spark):
+    assert run_mapper(spark, "sentence_split_mapper",
+                      ["One. Two! Three?"]) == ["One.\nTwo!\nThree?"]
+
+
+def test_remove_repeat_sentences(spark):
+    text = "Hello there. Some news. Hello there. More text."
+    out = run_mapper(spark, "remove_repeat_sentences_mapper", [text])
+    assert out[0].count("Hello there.") == 1
+
+
+def test_remove_words_with_incorrect_substrings(spark):
+    assert run_mapper(spark, "remove_words_with_incorrect_substrings_mapper",
+                      ["see http://x.com for info"]) == ["see for info"]
+
+
+def test_text_chunk_mapper(spark):
+    df = spark.createDataFrame([(0, "abcdefghij")], ["id", "text"])
+    op = OPERATORS.get("text_chunk_mapper")(max_len=4)
+    out = op.apply(df).orderBy("chunk_id").collect()
+    assert [r["text"] for r in out] == ["abcd", "efgh", "ij"]
+    assert [r["chunk_id"] for r in out] == [0, 1, 2]
+
+
+def test_remove_comments(spark):
+    tex = "% full line comment\nkeep this\n"
+    out = run_mapper(spark, "remove_comments_mapper", [tex])
+    assert out[0] == "keep this\n"
+
+
+def test_remove_bibliography(spark):
+    tex = "body text\n\\begin{thebibliography}{9}\\bibitem{x} X.\\end{thebibliography}"
+    assert run_mapper(spark, "remove_bibliography_mapper", [tex]) == ["body text\n"]
+
+
+def test_remove_non_chinese_character(spark):
+    assert run_mapper(spark, "remove_non_chinese_character_mapper",
+                      ["中文abc123。×"], keep_alphabet=True, keep_number=True,
+                      keep_punc=False) == ["中文abc123"]
+
+
+def test_python_lambda_mapper(spark):
+    out = run_mapper(spark, "python_lambda_mapper", ["abc"],
+                     fn=lambda s: s.str.upper())
+    assert out == ["ABC"]

@@ -1,0 +1,148 @@
+"""Benchmark harness — one JSON line with per-query wall times.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default all cores).
+
+Headline queries cover the engine's load-bearing paths: the cleaning/
+filter pipeline (Catalyst exprs), exact + MinHash dedup (shuffle/UDF),
+similarity search (higher-order fns), event aggregation, and the CDC
+replay loop (the north-star metric: change-events/sec into a
+snapshot-committed lake table). `events_per_sec` rides along for the
+scaling report (tools/bench_scaling.py runs this at N and 4N cores).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", 0)) or (os.cpu_count() or 4)
+CDC_EVENTS = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", 100_000))
+
+
+def _sf_from_dir(d: str) -> float:
+    try:
+        return float(d.rstrip("/").rsplit("sf", 1)[1])
+    except Exception:
+        return -1.0
+
+
+def main() -> None:
+    from data_juicer_spark import get_spark
+    from data_juicer_spark.pipeline import Pipeline
+
+    spark = get_spark(parallelism=CPUS, shuffle_partitions=max(CPUS, 16),
+                      app_name="bench")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name):
+        def deco(fn):
+            t0 = time.time()
+            fn()
+            timings[name] = round(time.time() - t0, 3)
+        return deco
+
+    @timed("pipeline_clean_filter")
+    def _q1():
+        pipe = Pipeline([
+            {"whitespace_normalization_mapper": {"text_key": "text"}},
+            {"clean_links_mapper": {"text_key": "text"}},
+            {"clean_email_mapper": {"text_key": "text"}},
+            {"text_length_filter": {"min_len": 20, "max_len": 10**9, "text_key": "text"}},
+            {"words_num_filter": {"min_num": 5, "max_num": 10**9, "text_key": "text"}},
+            {"alphanumeric_filter": {"min_ratio": 0.25, "text_key": "text"}},
+        ])
+        pipe.apply(docs).agg({"doc_id": "count"}).collect()
+
+    @timed("dedup_exact")
+    def _q2():
+        from data_juicer_spark.registry import OPERATORS
+        import data_juicer_spark.operators  # noqa: F401
+
+        op = OPERATORS.get("document_deduplicator")(text_key="text", id_key="doc_id")
+        op.apply(docs).agg({"doc_id": "count"}).collect()
+
+    @timed("dedup_minhash")
+    def _q3():
+        from data_juicer_spark.registry import OPERATORS
+
+        op = OPERATORS.get("document_minhash_deduplicator")(
+            text_key="text", id_key="doc_id", num_permutations=128,
+            jaccard_threshold=0.7,
+        )
+        op.apply(docs).agg({"doc_id": "count"}).collect()
+
+    @timed("similarity_topk")
+    def _q4():
+        from pyspark.sql import functions as F
+        from data_juicer_spark.functions.similarity import brute_force_topk
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+        )
+        q = emb.where(F.col("vec_id") < 8).selectExpr("vec_id as q_id", "embedding")
+        brute_force_topk(q, emb.where(F.col("vec_id") >= 8), k=10) \
+            .agg({"q_id": "count"}).collect()
+
+    @timed("events_hourly")
+    def _q5():
+        from pyspark.sql import functions as F
+
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        ev.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type") \
+            .agg(F.count("*").alias("cnt"), F.sum("value").alias("sv")) \
+            .agg({"cnt": "sum"}).collect()
+
+    @timed("cdc_replay")
+    def _q6():
+        from data_juicer_spark.cdc import CdcReplayer, generate_events
+        from data_juicer_spark.lake import SnapshotTable
+
+        root = tempfile.mkdtemp(prefix="bench_lake_")
+        try:
+            events = generate_events(
+                spark, CDC_EVENTS, batch_size=CDC_EVENTS // 5,
+                n_repos=200, n_paths=2000,
+            ).persist()
+            events.count()  # materialize generation outside the fence
+            pipe = Pipeline([
+                {"clean_copyright_mapper": {"text_key": "content"}},
+                {"clean_email_mapper": {"text_key": "content"}},
+                {"clean_links_mapper": {"text_key": "content"}},
+                {"text_length_filter": {"min_len": 20, "max_len": 10**9,
+                                        "text_key": "content"}},
+            ])
+            table = SnapshotTable(spark, root, ["repo", "path"], num_buckets=64)
+            t0 = time.time()
+            CdcReplayer(table, pipeline=pipe).replay(events)
+            dt = time.time() - t0
+            extra["events_per_sec"] = round(CDC_EVENTS / dt, 1)
+            events.unpersist()
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline suite wall time (pipeline, dedup, similarity, "
+                  "agg, CDC replay)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+        "cpus": CPUS,
+        "cdc_events": CDC_EVENTS,
+        **extra,
+    }))
+
+
+if __name__ == "__main__":
+    main()

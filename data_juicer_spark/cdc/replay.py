@@ -100,14 +100,27 @@ class CdcReplayer:
             self.lineage.append(st)
             return st
 
+        # ONE materialization of the compacted batch; all counts derive
+        # from a single cheap agg over it (no pipeline recomputation)
         last = self.compact(events).persist()
+        cleaned = None
         try:
+            op_counts = {
+                r["op"]: r["cnt"]
+                for r in last.groupBy("op").agg(F.count("*").alias("cnt")).collect()
+            }
+            n_up_in = sum(v for k, v in op_counts.items() if k != "D")
+            n_del_in = op_counts.get("D", 0)
+
             upserts = last.where(F.col("op") != "D").drop("op")
             deletes = last.where(F.col("op") == "D").select(*KEY_COLS)
 
-            n_up_in = upserts.count()
             if self.pipeline is not None and n_up_in:
-                cleaned = self.pipeline.apply(upserts)
+                # persist the cleaned batch: it feeds the count, the
+                # dropped-keys anti-join, the bucket collect AND the
+                # merge write — one pandas-UDF pass instead of four
+                cleaned = self.pipeline.apply(upserts).persist()
+                n_up = cleaned.count()
                 # rows dropped by quality filters become deletes: the key
                 # must not survive in the lake with stale content
                 dropped = upserts.select(*KEY_COLS).join(
@@ -115,15 +128,16 @@ class CdcReplayer:
                 )
                 deletes = deletes.unionByName(dropped)
                 upserts = cleaned
-            n_up = upserts.count()
+            else:
+                n_up = n_up_in
             st.filtered_out = n_up_in - n_up
             st.upserts = n_up
-            st.deletes = deletes.count()
-            st.events = st.upserts + st.deletes + st.filtered_out
+            st.deletes = n_del_in + st.filtered_out
+            st.events = n_up_in + n_del_in
 
             manifest = self.table.merge(
                 upserts if n_up else None,
-                deletes if st.deletes or st.filtered_out else None,
+                deletes if st.deletes else None,
                 epoch=epoch,
             )
             st.snapshot_id = manifest["snapshot_id"]
@@ -134,6 +148,8 @@ class CdcReplayer:
                     pass
         finally:
             last.unpersist()
+            if cleaned is not None:
+                cleaned.unpersist()
         st.seconds = time.time() - t0
         self.lineage.append(st)
         return st

@@ -24,7 +24,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", 0)) or (os.cpu_count() or 4)
-CDC_EVENTS = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", 100_000))
+CDC_EVENTS = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", 400_000))
+CDC_EPOCHS = int(os.environ.get("SPARK_GRAFT_CDC_EPOCHS", 4))
 
 
 def _sf_from_dir(d: str) -> float:
@@ -110,7 +111,7 @@ def main() -> None:
         root = tempfile.mkdtemp(prefix="bench_lake_")
         try:
             events = generate_events(
-                spark, CDC_EVENTS, batch_size=CDC_EVENTS // 5,
+                spark, CDC_EVENTS, batch_size=CDC_EVENTS // CDC_EPOCHS,
                 n_repos=200, n_paths=2000,
             ).persist()
             events.count()  # materialize generation outside the fence
@@ -121,9 +122,15 @@ def main() -> None:
                 {"text_length_filter": {"min_len": 20, "max_len": 10**9,
                                         "text_key": "content"}},
             ])
-            table = SnapshotTable(spark, root, ["repo", "path"], num_buckets=64)
+            table = SnapshotTable(spark, root, ["repo", "path"], num_buckets=64,
+                                  strategy="mor", compact_every=8)
             t0 = time.time()
             CdcReplayer(table, pipeline=pipe).replay(events)
+            # fold any uncompacted deltas so the timed window ends at a
+            # fully materialized final table state
+            snap = table.current_snapshot()
+            if snap and snap.get("deltas"):
+                table._compact(snap, epoch=snap["epoch"])
             dt = time.time() - t0
             extra["events_per_sec"] = round(CDC_EVENTS / dt, 1)
             events.unpersist()
@@ -140,6 +147,7 @@ def main() -> None:
         "sf": _sf_from_dir(SF_DIR),
         "cpus": CPUS,
         "cdc_events": CDC_EVENTS,
+        "cdc_epochs": CDC_EPOCHS,
         **extra,
     }))
 

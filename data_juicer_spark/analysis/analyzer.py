@@ -1,0 +1,101 @@
+"""Analyzer — the dj-analyze mirror (/root/reference/data_juicer/core/
+analyzer.py:25-177): run only the stats phase of every Filter, then
+summarize each stat column (count/mean/stddev/min/quartiles/max) and
+per-category frequencies.
+
+Spark-native: stats land in one nested struct column from a single
+pass (Filters' stats_exprs, no keep/drop applied — analyzer.py:121-127
+skips process()); the summary is one `summary()`/approxQuantile scan.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_juicer_spark.operators.base import Filter, STATS_COL
+from data_juicer_spark.registry import load_ops
+
+
+class Analyzer:
+    def __init__(self, process: List[dict]):
+        self.ops = [op for op in load_ops(process) if isinstance(op, Filter)]
+
+    def compute_stats(self, df: DataFrame) -> DataFrame:
+        """Apply every Filter's stats phase (no filtering)."""
+        for op in self.ops:
+            if type(op).stats_exprs is getattr(Filter, "stats_exprs"):
+                continue  # non-stats filter (suffix/field) — nothing to add
+            df = op.compute_stats(df)
+        return df
+
+    def overall(self, df: DataFrame,
+                percentiles: Optional[List[float]] = None) -> DataFrame:
+        """OverallAnalysis mirror: describe() + percentiles per stat.
+        Returns a tidy DataFrame (stat, count, mean, stddev, min, p25,
+        p50, p75, max)."""
+        pct = percentiles or [0.25, 0.5, 0.75]
+        stats_df = self.compute_stats(df)
+        if STATS_COL not in stats_df.columns:
+            raise ValueError("no stats computed — no stats-bearing filters")
+        numeric = [
+            f.name
+            for f in stats_df.schema[STATS_COL].dataType.fields
+            if f.dataType.typeName() in
+            ("double", "float", "long", "integer", "short")
+        ]
+        flat = stats_df.select(
+            *[F.col(f"{STATS_COL}.{c}").cast("double").alias(c) for c in numeric]
+        ).persist()
+        try:
+            aggs = []
+            for c in numeric:
+                aggs += [
+                    F.count(c).alias(f"{c}__count"),
+                    F.round(F.avg(c), 6).alias(f"{c}__mean"),
+                    F.round(F.stddev_samp(c), 6).alias(f"{c}__stddev"),
+                    F.min(c).alias(f"{c}__min"),
+                    F.max(c).alias(f"{c}__max"),
+                ]
+            row = flat.agg(*aggs).collect()[0]
+            quants = {
+                c: flat.approxQuantile(c, pct, 0.001) for c in numeric
+            }
+            out = []
+            for c in numeric:
+                rec = {
+                    "stat": c,
+                    "count": row[f"{c}__count"],
+                    "mean": row[f"{c}__mean"],
+                    "stddev": row[f"{c}__stddev"],
+                    "min": row[f"{c}__min"],
+                    "max": row[f"{c}__max"],
+                }
+                for p, v in zip(pct, quants[c]):
+                    rec[f"p{int(p * 100)}"] = v
+                out.append(rec)
+            spark = df.sparkSession
+            return spark.createDataFrame(out)
+        finally:
+            flat.unpersist()
+
+    def column_wise_hist(self, df: DataFrame, stat: str, bins: int = 20):
+        """ColumnWiseAnalysis-style histogram for one stat (list of
+        (bin_start, count)), computed distributed via width_bucket."""
+        stats_df = self.compute_stats(df)
+        col = F.col(f"{STATS_COL}.{stat}").cast("double")
+        mn, mx = stats_df.agg(F.min(col), F.max(col)).collect()[0]
+        if mn is None or mn == mx:
+            return [(mn, stats_df.count())]
+        width = (mx - mn) / bins
+        hist = (
+            stats_df.select(
+                F.least(
+                    F.floor((col - F.lit(mn)) / F.lit(width)), F.lit(bins - 1)
+                ).alias("bin")
+            )
+            .groupBy("bin").count().orderBy("bin").collect()
+        )
+        return [(mn + r["bin"] * width, r["count"]) for r in hist]

@@ -59,7 +59,8 @@ _LICENSE = (
 
 
 def _synth_batch(seqs: np.ndarray, rng_base: int, n_repos: int, n_paths: int,
-                 batch_size: int, hot_fraction: float) -> pd.DataFrame:
+                 batch_size: int, hot_fraction: float,
+                 content_repeat: int = 1) -> pd.DataFrame:
     """Vectorized event synthesis for a range of seq numbers. Every field
     is a pure function of seq (+ fixed seed), so regeneration is
     deterministic and resumable from any offset."""
@@ -103,7 +104,17 @@ def _synth_batch(seqs: np.ndarray, rng_base: int, n_repos: int, n_paths: int,
         if is_delete[i]:
             contents.append(None)
             continue
-        t = _TEMPLATES[tmpl_ids[i]].format(i=int(path_ids[i]))
+        pid = int(path_ids[i])
+        t = _TEMPLATES[tmpl_ids[i]].format(i=pid)
+        if content_repeat > 1:
+            # realistic file sizes (KBs): distinct function bodies, not
+            # pure repetition, so n-gram/dedup stats stay meaningful
+            t = "\n".join(
+                _TEMPLATES[(tmpl_ids[i] + j) % len(_TEMPLATES)].format(
+                    i=pid * 31 + j
+                )
+                for j in range(content_repeat)
+            )
         v = int(variant[i])
         # near-duplicate mutations: whitespace / identifier tweaks
         if v == 1:
@@ -133,6 +144,7 @@ def generate_events(
     hot_fraction: float = 0.45,
     seed: int = 42,
     num_partitions: int | None = None,
+    content_repeat: int = 1,
 ) -> DataFrame:
     """Distributed deterministic event log [0, num_events)."""
     parts = num_partitions or spark.sparkContext.defaultParallelism
@@ -141,6 +153,7 @@ def generate_events(
     def gen(iterator):
         for pdf in iterator:
             seqs = pdf["id"].to_numpy()
-            yield _synth_batch(seqs, seed, n_repos, n_paths, batch_size, hot_fraction)
+            yield _synth_batch(seqs, seed, n_repos, n_paths, batch_size,
+                               hot_fraction, content_repeat)
 
     return bounds.mapInPandas(gen, schema=EVENT_SCHEMA)

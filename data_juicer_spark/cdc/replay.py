@@ -100,56 +100,75 @@ class CdcReplayer:
             self.lineage.append(st)
             return st
 
-        # ONE materialization of the compacted batch; all counts derive
-        # from a single cheap agg over it (no pipeline recomputation)
-        last = self.compact(events).persist()
-        cleaned = None
-        try:
-            op_counts = {
-                r["op"]: r["cnt"]
-                for r in last.groupBy("op").agg(F.count("*").alias("cnt")).collect()
-            }
-            n_up_in = sum(v for k, v in op_counts.items() if k != "D")
-            n_del_in = op_counts.get("D", 0)
+        # ONE lineage: compact → pipeline-in-flag-mode → persist. Rows a
+        # quality Filter rejects carry __keep__=false instead of being
+        # dropped, so kept rows, demoted-to-delete keys AND all counts
+        # come from the same materialized batch — no anti-join, no
+        # pipeline recomputation (each epoch = compact shuffle + one
+        # pandas/Catalyst pass + the merge writes).
+        last = self.compact(events)
+        if self.pipeline is not None:
+            # D rows ride through the pipeline with null content (mappers
+            # are null-safe); their flag is irrelevant — op=='D' wins
+            flagged = self.pipeline.apply(last, filter_mode="flag")
+        else:
+            flagged = last.withColumn("__keep__", F.lit(True))
+        is_del = F.col("op") == "D"
+        is_kept = (~is_del) & F.coalesce(F.col("__keep__"), F.lit(False))
+        flagged = flagged.withColumn("__kept__", is_kept)
 
-            upserts = last.where(F.col("op") != "D").drop("op")
-            deletes = last.where(F.col("op") == "D").select(*KEY_COLS)
+        if self.table.strategy == "mor":
+            # fast path: ONE shuffle + ONE write job per epoch; counts
+            # ride the write via observe() instead of a separate action
+            from pyspark.sql.observation import Observation
 
-            if self.pipeline is not None and n_up_in:
-                # persist the cleaned batch: it feeds the count, the
-                # dropped-keys anti-join, the bucket collect AND the
-                # merge write — one pandas-UDF pass instead of four
-                cleaned = self.pipeline.apply(upserts).persist()
-                n_up = cleaned.count()
-                # rows dropped by quality filters become deletes: the key
-                # must not survive in the lake with stale content
-                dropped = upserts.select(*KEY_COLS).join(
-                    cleaned.select(*KEY_COLS), on=KEY_COLS, how="left_anti"
-                )
-                deletes = deletes.unionByName(dropped)
-                upserts = cleaned
-            else:
-                n_up = n_up_in
-            st.filtered_out = n_up_in - n_up
-            st.upserts = n_up
-            st.deletes = n_del_in + st.filtered_out
-            st.events = n_up_in + n_del_in
-
-            manifest = self.table.merge(
-                upserts if n_up else None,
-                deletes if st.deletes else None,
-                epoch=epoch,
+            obs = Observation(f"epoch_{epoch}")
+            flagged = flagged.observe(
+                obs,
+                F.sum(F.col("__kept__").cast("long")).alias("n_up"),
+                F.sum(is_del.cast("long")).alias("n_del"),
+                F.count(F.lit(1)).alias("n_events"),
             )
+            manifest = self.table.merge_combined(flagged, "__kept__", epoch)
+            metrics = obs.get
+            st.upserts = metrics["n_up"] or 0
+            st.events = metrics["n_events"] or 0
+            st.filtered_out = st.events - st.upserts - (metrics["n_del"] or 0)
+            st.deletes = st.events - st.upserts
             st.snapshot_id = manifest["snapshot_id"]
-            if self.collect_op_stats and self.pipeline is not None:
-                try:
-                    st.op_stats = self.pipeline.op_stats()
-                except Exception:
-                    pass
-        finally:
-            last.unpersist()
-            if cleaned is not None:
-                cleaned.unpersist()
+        else:
+            flagged = flagged.persist()
+            try:
+                counts = {
+                    (bool(r["d"]), bool(r["k"])): r["cnt"]
+                    for r in flagged.groupBy(is_del.alias("d"),
+                                             F.col("__kept__").alias("k"))
+                    .agg(F.count("*").alias("cnt")).collect()
+                }
+                n_up = counts.get((False, True), 0)
+                st.filtered_out = counts.get((False, False), 0)
+                n_del_in = counts.get((True, False), 0)
+
+                upserts = flagged.where(F.col("__kept__")) \
+                    .drop("op", "__keep__", "__kept__")
+                deletes = flagged.where(~F.col("__kept__")).select(*KEY_COLS)
+                st.upserts = n_up
+                st.deletes = n_del_in + st.filtered_out
+                st.events = n_up + st.deletes
+
+                manifest = self.table.merge(
+                    upserts if n_up else None,
+                    deletes if st.deletes else None,
+                    epoch=epoch,
+                )
+                st.snapshot_id = manifest["snapshot_id"]
+            finally:
+                flagged.unpersist()
+        if self.collect_op_stats and self.pipeline is not None:
+            try:
+                st.op_stats = self.pipeline.op_stats()
+            except Exception:
+                pass
         st.seconds = time.time() - t0
         self.lineage.append(st)
         return st

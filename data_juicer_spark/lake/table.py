@@ -50,12 +50,29 @@ from pyspark.sql import types as T
 
 
 class SnapshotTable:
+    """strategy:
+      - 'cow' (copy-on-write): each MERGE rewrites the buckets containing
+        changed keys. Reads are plain scans. Best for read-heavy tables.
+      - 'mor' (merge-on-read): each MERGE only WRITES the batch (upsert
+        rows + delete-key files) as a delta, Iceberg-v2-equality-delete
+        style — O(batch) per epoch regardless of table size. Reads
+        resolve base+deltas with one per-key window; `compact_every`
+        deltas trigger a compaction back into the base. Best for the
+        ingest-heavy CDC path (this repo's north metric).
+    Both share the same manifest/commit protocol and epoch fence.
+    """
+
     def __init__(self, spark: SparkSession, root: str,
-                 key_cols: List[str], num_buckets: int = 64):
+                 key_cols: List[str], num_buckets: int = 64,
+                 strategy: str = "cow", compact_every: int = 8):
+        if strategy not in ("cow", "mor"):
+            raise ValueError(f"unknown strategy {strategy!r}")
         self.spark = spark
         self.root = root.rstrip("/")
         self.key_cols = list(key_cols)
         self.num_buckets = num_buckets
+        self.strategy = strategy
+        self.compact_every = compact_every
         os.makedirs(f"{self.root}/metadata", exist_ok=True)
         os.makedirs(f"{self.root}/data", exist_ok=True)
 
@@ -107,28 +124,99 @@ class SnapshotTable:
             F.xxhash64(*[F.col(c) for c in self.key_cols]), F.lit(self.num_buckets)
         ).cast("int")
 
-    def read(self, buckets: Optional[List[int]] = None) -> Optional[DataFrame]:
-        """Current table state. `buckets` prunes to listed buckets only
-        (the merge path reads just the changed buckets)."""
-        snap = self.current_snapshot()
-        if snap is None:
-            return None
-        schema = T.StructType.fromJson(snap["schema"])
-        dirs = [
-            d for b, d in snap["buckets"].items()
-            if buckets is None or int(b) in set(buckets)
-        ]
+    def _read_dirs(self, dirs: List[str], schema: T.StructType) -> DataFrame:
+        """Scan parquet dirs, null-filling columns added after a referenced
+        file was written (schema evolution without file rewrites)."""
         if not dirs:
             return self.spark.createDataFrame([], schema)
-        df = (
-            self.spark.read.option("mergeSchema", "true")
-            .parquet(*dirs)
-        )
-        # null-fill columns added after a referenced file was written
+        df = self.spark.read.option("mergeSchema", "true").parquet(*dirs)
         for field in schema.fields:
             if field.name not in df.columns:
                 df = df.withColumn(field.name, F.lit(None).cast(field.dataType))
         return df.select([f.name for f in schema.fields])
+
+    @staticmethod
+    def _delta_buckets(snap: dict) -> set:
+        out = set()
+        for d in snap.get("deltas", []):
+            out.update(int(b) for b in d["upsert_buckets"])
+            out.update(int(b) for b in d.get("delete_buckets", {}))
+        return out
+
+    def read(self, buckets: Optional[List[int]] = None) -> Optional[DataFrame]:
+        """Current table state. `buckets` prunes to listed buckets only
+        (the merge path reads just the changed buckets).
+
+        MOR resolution is bucket-pruned: buckets untouched by any delta
+        are plain scans; only delta-touched buckets pay the per-key
+        last-writer window."""
+        snap = self.current_snapshot()
+        if snap is None:
+            return None
+        schema = T.StructType.fromJson(snap["schema"])
+        want = None if buckets is None else set(buckets)
+        delta_bs = self._delta_buckets(snap)
+
+        base_clean = [
+            d for b, d in snap["buckets"].items()
+            if (want is None or int(b) in want) and int(b) not in delta_bs
+        ]
+        clean_df = self._read_dirs(base_clean, schema)
+        if not delta_bs:
+            return clean_df
+
+        # resolve delta-touched buckets: base rank 0, delta i rank i+1
+        base_dirty = [
+            d for b, d in snap["buckets"].items()
+            if (want is None or int(b) in want) and int(b) in delta_bs
+        ]
+        ups = self._read_dirs(base_dirty, schema).withColumn("__rank__", F.lit(0))
+        del_parts = []
+        for i, delta in enumerate(snap.get("deltas", []), start=1):
+            up_dirs = [
+                d for b, d in delta["upsert_buckets"].items()
+                if want is None or int(b) in want
+            ]
+            if up_dirs:
+                ups = ups.unionByName(
+                    self._read_dirs(up_dirs, schema).withColumn("__rank__", F.lit(i)),
+                    allowMissingColumns=True,
+                )
+            dl_dirs = [
+                d for b, d in delta.get("delete_buckets", {}).items()
+                if want is None or int(b) in want
+            ]
+            if dl_dirs:
+                del_parts.append(
+                    self.spark.read.parquet(*dl_dirs)
+                    .select(*self.key_cols)
+                    .withColumn("__del_rank__", F.lit(i))
+                )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*self.key_cols).orderBy(F.col("__rank__").desc())
+        latest = (
+            ups.withColumn("__rn__", F.row_number().over(w))
+            .where(F.col("__rn__") == 1)
+            .drop("__rn__")
+        )
+        if del_parts:
+            dels = del_parts[0]
+            for p in del_parts[1:]:
+                dels = dels.unionByName(p)
+            dels = dels.groupBy(*self.key_cols).agg(
+                F.max("__del_rank__").alias("__del_rank__")
+            )
+            latest = (
+                latest.join(dels, on=self.key_cols, how="left")
+                .where(
+                    F.col("__del_rank__").isNull()
+                    | (F.col("__rank__") > F.col("__del_rank__"))
+                )
+                .drop("__del_rank__")
+            )
+        resolved = latest.drop("__rank__")
+        return clean_df.unionByName(resolved)
 
     # -- write / merge -----------------------------------------------------
 
@@ -165,6 +253,7 @@ class SnapshotTable:
             "epoch": epoch,
             "schema": df.drop("__bucket__").schema.jsonValue(),
             "buckets": {str(b): d for b, d in self._bucket_dirs(data_dir).items()},
+            "deltas": [],
             "committed_at": time.time(),
             "operation": "init",
         }
@@ -173,14 +262,24 @@ class SnapshotTable:
     def _new_snap_id(self) -> str:
         return f"{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
 
+    @staticmethod
+    def _evolved_schema(cur: dict, upserts: Optional[DataFrame]) -> dict:
+        """add-only schema evolution: old fields + any new upsert fields."""
+        old_schema = T.StructType.fromJson(cur["schema"])
+        names = {f.name for f in old_schema.fields}
+        evolved = list(old_schema.fields)
+        if upserts is not None:
+            for f in upserts.schema.fields:
+                if f.name not in names:
+                    evolved.append(f)
+        return T.StructType(evolved).jsonValue()
+
     def merge(self, upserts: Optional[DataFrame], delete_keys: Optional[DataFrame],
               epoch: int) -> dict:
         """MERGE INTO: upsert rows keyed on key_cols, delete listed keys.
 
         Idempotent epoch fence: if current epoch >= epoch, returns the
         current manifest unchanged (exactly-once under re-delivery).
-        Only buckets containing changed keys are rewritten; the rest are
-        carried forward by reference.
         """
         cur = self.current_snapshot()
         if cur is not None and cur["epoch"] >= epoch:
@@ -191,6 +290,17 @@ class SnapshotTable:
                 raise ValueError("cannot merge deletes into an empty table")
             return self.init(upserts, epoch=epoch)
 
+        if self.strategy == "mor":
+            return self._merge_mor(cur, upserts, delete_keys, epoch)
+        return self._merge_cow(cur, upserts, delete_keys, epoch)
+
+    def _merge_cow(self, cur: dict, upserts: Optional[DataFrame],
+                   delete_keys: Optional[DataFrame], epoch: int) -> dict:
+        """Copy-on-write: rewrite only buckets containing changed keys;
+        the rest are carried forward by reference."""
+        if cur.get("deltas"):
+            # leftover MOR deltas (strategy switch): fold them in first
+            cur = self._compact(cur, epoch=cur["epoch"])
         # 1. changed buckets = buckets of any upserted or deleted key
         change_keys = None
         if upserts is not None:
@@ -227,22 +337,144 @@ class SnapshotTable:
         for b, d in new_dirs.items():
             buckets[str(b)] = d
 
-        # evolved schema = old fields + any new upsert fields (add-only)
-        old_schema = T.StructType.fromJson(cur["schema"])
-        names = {f.name for f in old_schema.fields}
-        evolved = list(old_schema.fields)
-        if upserts is not None:
-            for f in upserts.schema.fields:
-                if f.name not in names:
-                    evolved.append(f)
         manifest = {
             "snapshot_id": snap_id,
             "parent": cur["snapshot_id"],
             "epoch": epoch,
-            "schema": T.StructType(evolved).jsonValue(),
+            "schema": self._evolved_schema(cur, upserts),
             "buckets": buckets,
+            "deltas": [],
             "committed_at": time.time(),
             "operation": "merge",
             "rewritten_buckets": changed_buckets,
+        }
+        return self._commit(manifest)
+
+    # -- merge-on-read -------------------------------------------------------
+
+    def merge_combined(self, flagged: DataFrame, kept_col: str, epoch: int) -> dict:
+        """MOR fast path for the CDC replayer: ONE shuffle + ONE write
+        job lands the whole micro-batch. `flagged` carries every
+        compacted row; rows with kept_col=true become the delta's
+        upserts, the rest become equality-deletes. The write is
+        partitioned by (kept, bucket), so both groups land bucketed for
+        pruning. Epoch-fenced like merge()."""
+        cur = self.current_snapshot()
+        if cur is not None and cur["epoch"] >= epoch:
+            return cur
+        if cur is None:
+            ups = flagged.where(F.col(kept_col)).drop(kept_col)
+            drop_cols = [c for c in ("op", "__keep__") if c in ups.columns]
+            return self.init(ups.drop(*drop_cols), epoch=epoch)
+
+        snap_id = self._new_snap_id()
+        out_dir = f"{self.root}/data/delta-{snap_id}"
+        drop_cols = [c for c in ("op", "__keep__") if c in flagged.columns]
+        (
+            flagged.drop(*drop_cols)
+            .withColumn("__bucket__", self._bucket_expr())
+            .repartition(min(self.num_buckets, 256), "__bucket__")
+            .write.partitionBy(kept_col, "__bucket__")
+            .mode("overwrite").parquet(out_dir)
+        )
+        up_buckets, del_buckets = {}, {}
+        for side, target in ((f"{kept_col}=true", up_buckets),
+                             (f"{kept_col}=false", del_buckets)):
+            side_dir = os.path.join(out_dir, side)
+            if os.path.isdir(side_dir):
+                for name in os.listdir(side_dir):
+                    if name.startswith("__bucket__="):
+                        target[name.split("=")[1]] = f"{side_dir}/{name}"
+        delta = {"id": snap_id, "upsert_buckets": up_buckets,
+                 "delete_buckets": del_buckets}
+        ups_schema_src = flagged.drop(*drop_cols, kept_col)
+        manifest = {
+            "snapshot_id": snap_id,
+            "parent": cur["snapshot_id"],
+            "epoch": epoch,
+            "schema": self._evolved_schema(cur, ups_schema_src),
+            "buckets": dict(cur["buckets"]),
+            "deltas": list(cur.get("deltas", [])) + [delta],
+            "committed_at": time.time(),
+            "operation": "merge-mor",
+        }
+        committed = self._commit(manifest)
+        if len(committed["deltas"]) >= self.compact_every:
+            committed = self._compact(committed, epoch=epoch)
+        return committed
+
+    def _merge_mor(self, cur: dict, upserts: Optional[DataFrame],
+                   delete_keys: Optional[DataFrame], epoch: int) -> dict:
+        """Write-only merge: the batch lands as a delta (bucketed upsert
+        files + bucketed equality-delete key files). No read, no join —
+        O(batch) per epoch. Every `compact_every` deltas, fold them into
+        the base (bucket-pruned rewrite)."""
+        snap_id = self._new_snap_id()
+        delta = {"id": snap_id, "upsert_buckets": {}, "delete_buckets": {}}
+        if upserts is not None:
+            up_dir = f"{self.root}/data/delta-{snap_id}-up"
+            (
+                upserts.withColumn("__bucket__", self._bucket_expr())
+                .repartition(min(self.num_buckets, 256), "__bucket__")
+                .write.partitionBy("__bucket__").mode("overwrite").parquet(up_dir)
+            )
+            delta["upsert_buckets"] = {
+                str(b): d for b, d in self._bucket_dirs(up_dir).items()
+            }
+        if delete_keys is not None:
+            dl_dir = f"{self.root}/data/delta-{snap_id}-del"
+            (
+                delete_keys.select(*self.key_cols).distinct()
+                .withColumn("__bucket__", self._bucket_expr())
+                .repartition(1)
+                .write.partitionBy("__bucket__").mode("overwrite").parquet(dl_dir)
+            )
+            delta["delete_buckets"] = {
+                str(b): d for b, d in self._bucket_dirs(dl_dir).items()
+            }
+
+        manifest = {
+            "snapshot_id": snap_id,
+            "parent": cur["snapshot_id"],
+            "epoch": epoch,
+            "schema": self._evolved_schema(cur, upserts),
+            "buckets": dict(cur["buckets"]),
+            "deltas": list(cur.get("deltas", [])) + [delta],
+            "committed_at": time.time(),
+            "operation": "merge-mor",
+        }
+        committed = self._commit(manifest)
+        if len(committed["deltas"]) >= self.compact_every:
+            committed = self._compact(committed, epoch=epoch)
+        return committed
+
+    def _compact(self, cur: dict, epoch: int) -> dict:
+        """Fold deltas into the base: resolve only delta-touched buckets,
+        rewrite them, carry the rest forward by reference."""
+        dirty = sorted(self._delta_buckets(cur))
+        if not dirty:
+            manifest = dict(cur, deltas=[], operation="compact",
+                            snapshot_id=self._new_snap_id(),
+                            parent=cur["snapshot_id"], epoch=epoch,
+                            committed_at=time.time())
+            return self._commit(manifest)
+        resolved = self.read(buckets=dirty)
+        snap_id = self._new_snap_id()
+        data_dir = self._write_buckets(resolved, snap_id)
+        buckets = dict(cur["buckets"])
+        for b in dirty:
+            buckets.pop(str(b), None)
+        for b, d in self._bucket_dirs(data_dir).items():
+            buckets[str(b)] = d
+        manifest = {
+            "snapshot_id": snap_id,
+            "parent": cur["snapshot_id"],
+            "epoch": epoch,
+            "schema": cur["schema"],
+            "buckets": buckets,
+            "deltas": [],
+            "committed_at": time.time(),
+            "operation": "compact",
+            "rewritten_buckets": dirty,
         }
         return self._commit(manifest)

@@ -157,13 +157,19 @@ class CharacterRepetitionFilter(_RangeFilter):
 
         @pandas_udf(DoubleType())
         def char_rep(s: pd.Series) -> pd.Series:
+            # vectorized: utf-8 byte n-grams via a sliding-window view +
+            # one C-level np.unique per row (no Python string slicing)
             out = np.zeros(len(s))
             for i, txt in enumerate(s):
-                if txt is None or len(txt) < n:
+                if txt is None:
                     continue
-                grams = [txt[j : j + n] for j in range(len(txt) - n + 1)]
-                if not grams:
+                a = np.frombuffer(txt.encode("utf-8"), dtype=np.uint8)
+                if len(a) < n:
                     continue
+                win = np.lib.stride_tricks.sliding_window_view(a, n)
+                grams = np.ascontiguousarray(win).view(
+                    np.dtype((np.void, n))
+                ).ravel()
                 _, counts = np.unique(grams, return_counts=True)
                 counts = np.sort(counts)[::-1]
                 singles = int((counts == 1).sum())
@@ -187,8 +193,18 @@ class WordRepetitionFilter(_RangeFilter):
         self.n = rep_len
 
     def stat_expr(self, df):
+        import re as _re
+
         n = self.n
-        strip_chars = "".join(sorted(T.SPECIAL_CHARACTERS))
+        # strip special chars from word EDGES with one C regex pass per
+        # row (equivalent to words_refinement's per-word strip), then
+        # hash words and slide a window — no per-word Python
+        cls = "".join(
+            "\\" + c if c in r"\^]-[&" else c
+            for c in sorted(T.SPECIAL_CHARACTERS)
+            if c not in " \t\n\r\x0b\x0c"
+        )
+        edge_re = _re.compile(rf"(?:(?<=\s)|^)[{cls}]+|[{cls}]+(?=\s|$)")
 
         @pandas_udf(DoubleType())
         def word_rep(s: pd.Series) -> pd.Series:
@@ -196,11 +212,16 @@ class WordRepetitionFilter(_RangeFilter):
             for i, txt in enumerate(s):
                 if not txt:
                     continue
-                ws = [w.lower().strip(strip_chars) for w in txt.split()]
-                ws = [w for w in ws if w]
-                grams = [" ".join(ws[j : j + n]) for j in range(len(ws) - n + 1)]
-                if not grams:
+                ws = edge_re.sub("", txt.lower()).split()
+                if len(ws) < n:
                     continue
+                # 64-bit word hashes -> rolling n-gram key via sliding window
+                h = np.fromiter((hash(w) for w in ws), dtype=np.int64,
+                                count=len(ws))
+                win = np.lib.stride_tricks.sliding_window_view(h, n)
+                grams = np.ascontiguousarray(win).view(
+                    np.dtype((np.void, 8 * n))
+                ).ravel()
                 _, counts = np.unique(grams, return_counts=True)
                 tot = counts.sum()
                 out[i] = counts[counts > 1].sum() / tot if tot else 0.0
@@ -330,21 +351,37 @@ class PerplexityFilter(_RangeFilter):
         super().__init__(min_val=min_ppl, max_val=max_ppl, **kw)
 
     def stat_expr(self, df):
-        common = self._COMMON
+        # fully batch-vectorized: all rows concatenated into ONE byte
+        # buffer (with \0 separators that can never be common bigrams),
+        # bigram codes = 16-bit byte pairs, membership via np.isin, and
+        # per-row hit sums via one np.add.reduceat — no Python per row
+        common_codes = np.unique(np.array(
+            [(ord(b[0]) << 8) | ord(b[1]) for b in self._COMMON], dtype=np.uint16
+        ))
 
         @pandas_udf(DoubleType())
         def ppl(s: pd.Series) -> pd.Series:
-            out = np.zeros(len(s))
-            for i, txt in enumerate(s):
-                t = (txt or "").lower()
-                if len(t) < 2:
-                    out[i] = 10000.0
-                    continue
-                bigrams = [t[j : j + 2] for j in range(len(t) - 1)]
-                hits = sum(1 for b in bigrams if b in common)
-                p = max(hits / len(bigrams), 1e-4)
-                # map hit-rate to a ppl-like scale: lower hit-rate → higher ppl
-                out[i] = round(10.0 / p, 1)
+            enc = [(t or "").lower().encode("utf-8") for t in s]
+            lens = np.fromiter((len(e) for e in enc), dtype=np.int64,
+                               count=len(enc))
+            buf = b"\0".join(enc)
+            if len(buf) < 2:
+                return pd.Series(np.full(len(s), 10000.0))
+            a = np.frombuffer(buf, dtype=np.uint8)
+            codes = (a[:-1].astype(np.uint16) << 8) | a[1:]
+            hit = np.isin(codes, common_codes)
+            starts = np.zeros(len(enc), dtype=np.int64)
+            np.cumsum(lens[:-1] + 1, out=starts[1:])
+            # reduceat over [starts[i], starts[i+1]): includes the \0
+            # boundary bigrams, which are never hits
+            # clip only affects degenerate tail rows (len<2), which are
+            # overridden by the lens<2 mask below
+            bounds = np.minimum(starts, len(hit) - 1)
+            sums = np.add.reduceat(hit, bounds)
+            n_bigrams = np.maximum(lens - 1, 1)
+            rate = np.maximum(sums / n_bigrams, 1e-4)
+            out = np.round(10.0 / rate, 1)
+            out[lens < 2] = 10000.0
             return pd.Series(out)
 
         return ppl(F.col(self.text_key))

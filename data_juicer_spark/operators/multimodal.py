@@ -1,0 +1,231 @@
+"""Multimodal operators — image/audio/video as opaque `binary` columns
+with typed metadata structs.
+
+The reference ships ~25 image/video/audio ops (filter/image_*.py,
+mapper/video_*.py, deduplicator/image_deduplicator.py, …) that decode
+media with PIL/ffmpeg. Those codec libraries are NOT in this container,
+so the DECODE step is stubbed (deterministic fake negotiated by
+`fake_decode=True`, NotImplementedError otherwise) while everything
+Spark-side is real and tested: binary column handling, metadata struct
+schema, Arrow batch shape through mapInPandas, per-row fault isolation,
+and the phash-style dedup plumbing.
+
+On a real deployment you replace `_decode_image` with PIL/turbojpeg —
+the operator plumbing (schemas, partitioning, batching) is unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_juicer_spark.operators.base import Deduplicator, Filter, Mapper
+from data_juicer_spark.registry import OPERATORS
+
+IMAGE_META_SCHEMA = T.StructType([
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_channels", T.IntegerType()),
+    T.StructField("format", T.StringType()),
+    T.StructField("decode_error", T.StringType()),
+])
+
+
+def _decode_image(data: bytes, fake: bool):
+    """Stub decode. Real impl: PIL.Image.open(io.BytesIO(data)).
+    Fake mode: deterministic pseudo-image derived from the byte hash so
+    the whole pipeline is testable hermetically."""
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires PIL/turbojpeg (not in this container); "
+            "construct the operator with fake_decode=True for hermetic runs"
+        )
+    h = hashlib.sha256(data or b"").digest()
+    w = 16 + h[0] % 64
+    ht = 16 + h[1] % 64
+    rng = np.random.RandomState(int.from_bytes(h[2:6], "little"))
+    arr = rng.randint(0, 256, size=(ht, w, 3), dtype=np.uint8)
+    return arr
+
+
+@OPERATORS.register("image_metadata_mapper")
+class ImageMetadataMapper(Mapper):
+    """Decode (stub) → attach typed metadata struct. mapInPandas so one
+    Arrow batch holds many binary payloads; per-row failures are
+    isolated into meta.decode_error (the reference's skip_op_error
+    sample-drop semantics, base_op.py:52-133, as a DLQ column)."""
+
+    def __init__(self, image_key: str = "image", meta_key: str = "image_meta",
+                 fake_decode: bool = True, **kw):
+        super().__init__(**kw)
+        self.image_key = image_key
+        self.meta_key = meta_key
+        self.fake = fake_decode
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        out_schema = T.StructType(
+            list(df.schema.fields) + [T.StructField(self.meta_key, IMAGE_META_SCHEMA)]
+        )
+        img_key, meta_key, fake = self.image_key, self.meta_key, self.fake
+
+        def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                metas = []
+                for data in pdf[img_key]:
+                    try:
+                        arr = _decode_image(data, fake)
+                        metas.append({
+                            "width": int(arr.shape[1]),
+                            "height": int(arr.shape[0]),
+                            "n_channels": int(arr.shape[2]),
+                            "format": "fake" if fake else "raw",
+                            "decode_error": None,
+                        })
+                    except Exception as e:  # per-row fault isolation
+                        metas.append({
+                            "width": None, "height": None, "n_channels": None,
+                            "format": None, "decode_error": str(e)[:200],
+                        })
+                pdf[meta_key] = metas
+                yield pdf
+
+        return df.mapInPandas(process, schema=out_schema)
+
+
+@OPERATORS.register("image_shape_filter")
+class ImageShapeFilter(Filter):
+    """Keep images whose width/height are in range — the reference's
+    image_shape_filter shape (filter/image_shape_filter.py). Runs on the
+    metadata struct (decode once upstream, filter in Catalyst)."""
+
+    def __init__(self, min_width: int = 1, max_width: int = 1 << 20,
+                 min_height: int = 1, max_height: int = 1 << 20,
+                 meta_key: str = "image_meta", **kw):
+        super().__init__(**kw)
+        self.min_w, self.max_w = min_width, max_width
+        self.min_h, self.max_h = min_height, max_height
+        self.meta_key = meta_key
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        m = self.meta_key
+        return df.filter(
+            F.col(f"{m}.decode_error").isNull()
+            & F.col(f"{m}.width").between(self.min_w, self.max_w)
+            & F.col(f"{m}.height").between(self.min_h, self.max_h)
+        )
+
+
+@OPERATORS.register("image_phash_deduplicator")
+class ImagePhashDeduplicator(Deduplicator):
+    """Perceptual-hash dedup plumbing (image_deduplicator.py:141 mirror):
+    decode (stub) → 8x8 grayscale downsample → mean-threshold bits →
+    64-bit phash → exact groupBy keep-first. The phash math is real; only
+    the decode is stubbed."""
+
+    def __init__(self, image_key: str = "image", id_key: Optional[str] = None,
+                 fake_decode: bool = True, **kw):
+        super().__init__(**kw)
+        self.image_key = image_key
+        self.id_key = id_key
+        self.fake = fake_decode
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql import Window
+
+        fake = self.fake
+
+        @pandas_udf(T.LongType())
+        def phash(s: pd.Series) -> pd.Series:
+            out = np.zeros(len(s), dtype=np.int64)
+            for i, data in enumerate(s):
+                try:
+                    arr = _decode_image(data, fake).astype(np.float64)
+                except Exception:
+                    out[i] = -1
+                    continue
+                gray = arr.mean(axis=2)
+                h, w = gray.shape
+                ys = (np.arange(8) * h // 8)
+                xs = (np.arange(8) * w // 8)
+                small = gray[np.ix_(ys, xs)]
+                bits = (small > small.mean()).flatten()
+                val = 0
+                for b in range(64):
+                    if bits[b]:
+                        val |= 1 << b
+                out[i] = np.uint64(val).astype(np.int64)
+            return pd.Series(out)
+
+        order_col = self.id_key or df.columns[0]
+        w = Window.partitionBy("__phash__").orderBy(F.col(order_col).asc())
+        return (
+            df.withColumn("__phash__", phash(F.col(self.image_key)))
+            .withColumn("__rn__", F.row_number().over(w))
+            .where((F.col("__rn__") == 1) | (F.col("__phash__") == -1))
+            .drop("__phash__", "__rn__")
+        )
+
+
+@OPERATORS.register("audio_duration_filter")
+class AudioDurationFilter(Filter):
+    """Audio as binary + sample-rate metadata; duration from byte length
+    (PCM assumption in fake mode; real impl reads the container header).
+    Mirrors filter/audio_duration_filter.py."""
+
+    def __init__(self, min_seconds: float = 0.0, max_seconds: float = 1e9,
+                 audio_key: str = "audio", sample_rate: int = 16000,
+                 bytes_per_sample: int = 2, **kw):
+        super().__init__(**kw)
+        self.lo, self.hi = min_seconds, max_seconds
+        self.audio_key = audio_key
+        self.rate = sample_rate * bytes_per_sample
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        dur = F.length(F.col(self.audio_key)) / F.lit(self.rate)
+        return df.filter(dur.between(self.lo, self.hi))
+
+
+@OPERATORS.register("video_frame_sample_mapper")
+class VideoFrameSampleMapper(Mapper):
+    """Frame sampling plumbing: binary video → N frame rows (1→N
+    expansion through mapInPandas, like mapper/video_split_by_*). Frame
+    extraction is stubbed to deterministic byte slices."""
+
+    def __init__(self, video_key: str = "video", n_frames: int = 3,
+                 fake_decode: bool = True, **kw):
+        super().__init__(**kw)
+        self.video_key = video_key
+        self.n_frames = n_frames
+        self.fake = fake_decode
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        out_schema = T.StructType(
+            list(df.schema.fields)
+            + [T.StructField("frame_id", T.IntegerType()),
+               T.StructField("frame", T.BinaryType())]
+        )
+        vkey, n, fake = self.video_key, self.n_frames, self.fake
+
+        def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for _, row in pdf.iterrows():
+                    data = row[vkey] or b""
+                    if not fake:
+                        raise NotImplementedError("video decode needs ffmpeg")
+                    step = max(len(data) // max(n, 1), 1)
+                    for fi in range(n):
+                        r = row.to_dict()
+                        r["frame_id"] = fi
+                        r["frame"] = bytes(data[fi * step:(fi + 1) * step]) or b"\0"
+                        rows.append(r)
+                yield pd.DataFrame(rows, columns=list(pdf.columns) + ["frame_id", "frame"])
+
+        return df.mapInPandas(process, schema=out_schema)

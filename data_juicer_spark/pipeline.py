@@ -35,14 +35,29 @@ class Pipeline:
     def __call__(self, df: DataFrame) -> DataFrame:
         return self.apply(df)
 
-    def apply(self, df: DataFrame) -> DataFrame:
+    def apply(self, df: DataFrame, filter_mode: str = "drop",
+              flag_col: str = "__keep__") -> DataFrame:
+        """filter_mode='drop': Filters remove rows (default).
+        filter_mode='flag': Filters AND their keep decision into
+        `flag_col` instead of dropping — the CDC replay path uses this
+        so 'kept rows' and 'rows demoted to deletes' come out of ONE
+        lineage with no anti-join (one shuffle less per micro-batch)."""
+        from data_juicer_spark.operators.base import Filter
+
         self.observations = {}
+        if filter_mode == "flag":
+            df = df.withColumn(flag_col, F.lit(True))
         for i, op in enumerate(self.ops):
             if self.observe:
                 obs = Observation(f"{i:02d}_{op.name}_in")
                 df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
                 self.observations[f"{i:02d}_{op.name}_in"] = obs
-            df = op.apply(df)
+            if filter_mode == "flag" and isinstance(op, Filter) \
+                    and type(op).keep_expr is not Filter.keep_expr:
+                df = op.compute_stats(df)
+                df = df.withColumn(flag_col, F.col(flag_col) & op.keep_expr(df))
+            else:
+                df = op.apply(df)
         if self.observe and self.ops:
             obs = Observation("zz_out")
             df = df.observe(obs, F.count(F.lit(1)).alias("rows"))

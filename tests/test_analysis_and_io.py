@@ -1,0 +1,116 @@
+"""Analyzer / Tracer / DatasetBuilder / Exporter / selectors-groupers."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+import data_juicer_spark.operators  # noqa: F401
+from data_juicer_spark.analysis import Analyzer, Tracer
+from data_juicer_spark.registry import OPERATORS
+from data_juicer_spark.sources import DatasetBuilder, Exporter
+
+
+@pytest.fixture()
+def tmpd():
+    d = tempfile.mkdtemp(prefix="aio_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_analyzer_overall(spark, docs):
+    an = Analyzer([
+        {"text_length_filter": {"min_len": 0, "text_key": "text"}},
+        {"words_num_filter": {"min_num": 0, "text_key": "text"}},
+    ])
+    out = {r["stat"]: r for r in an.overall(docs).collect()}
+    assert set(out) == {"text_len", "num_words"}
+    assert out["text_len"]["count"] == docs.count()
+    # text_len mean must equal the avg of n_chars (generator invariant)
+    expect = docs.agg(F.round(F.avg(F.length("text")), 6)).collect()[0][0]
+    assert out["text_len"]["mean"] == pytest.approx(expect, abs=1e-6)
+    assert out["text_len"]["min"] <= out["text_len"]["p50"] <= out["text_len"]["max"]
+
+
+def test_analyzer_hist(spark, docs):
+    an = Analyzer([{"text_length_filter": {"min_len": 0, "text_key": "text"}}])
+    hist = an.column_wise_hist(docs, "text_len", bins=10)
+    assert sum(c for _, c in hist) == docs.count()
+
+
+def test_tracer(spark, docs, tmpd):
+    tracer = Tracer(tmpd, show_num=5)
+    op = OPERATORS.get("text_length_filter")(min_len=100, max_len=10**9, text_key="text")
+    after = op.apply(docs)
+    p = tracer.trace_filter("text_length_filter", docs, after, key="doc_id")
+    assert os.path.exists(p)
+    with open(p) as f:
+        lines = [ln for ln in f.read().splitlines() if ln]
+    assert 0 < len(lines) <= 5
+
+    mop = OPERATORS.get("replace_content_mapper")(pattern="spark", repl="SPARK", text_key="text")
+    p2 = tracer.trace_mapper("replace", docs, mop.apply(docs), key="doc_id", text_key="text")
+    with open(p2) as f:
+        assert "SPARK" in f.read()
+
+
+def test_dataset_builder_mixture(spark, tmpd):
+    a = spark.createDataFrame([(i, "a") for i in range(100)], ["id", "src"])
+    b = spark.createDataFrame([(i, "b") for i in range(100)], ["id", "src"])
+    a.write.parquet(f"{tmpd}/a.parquet")
+    b.write.parquet(f"{tmpd}/b.parquet")
+    builder = DatasetBuilder(spark)
+    out = builder.load([
+        {"path": f"{tmpd}/a.parquet", "weight": 2.0},
+        {"path": f"{tmpd}/b.parquet", "weight": 0.5},
+    ])
+    counts = {r["src"]: r["cnt"] for r in
+              out.groupBy("src").agg(F.count("*").alias("cnt")).collect()}
+    assert counts["a"] == 200          # duplicated 2x
+    assert 20 <= counts["b"] <= 80     # ~50% sample
+
+
+def test_parse_cli_datapath():
+    cfg = DatasetBuilder.parse_cli_datapath("0.5 a.jsonl 2 b_dir c.parquet")
+    assert cfg == [
+        {"path": "a.jsonl", "weight": 0.5},
+        {"path": "b_dir", "weight": 2.0},
+        {"path": "c.parquet", "weight": 1.0},
+    ]
+
+
+def test_exporter_roundtrip(spark, tmpd):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], ["id", "text"])
+    Exporter.export(df, f"{tmpd}/out_json", fmt="jsonl", num_shards=1)
+    back = spark.read.json(f"{tmpd}/out_json")
+    assert sorted((r["id"], r["text"]) for r in back.collect()) == [(1, "x"), (2, "y")]
+
+
+def test_text_formats(spark, tmpd):
+    with open(f"{tmpd}/doc.txt", "w") as f:
+        f.write("line one\nline two\n")
+    out = DatasetBuilder(spark).load([f"{tmpd}/doc.txt"])
+    assert out.columns == ["text"] and out.count() == 2
+
+
+def test_selector_topk_and_range(spark, docs):
+    top = OPERATORS.get("topk_specified_field_selector")(
+        field_key="n_chars", topk=5, id_key="doc_id"
+    ).apply(docs)
+    vals = [r["n_chars"] for r in top.collect()]
+    mx = docs.agg(F.max("n_chars")).collect()[0][0]
+    assert max(vals) == mx and len(vals) == 5
+
+
+def test_grouper_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(0, "a", "t0"), (1, "a", "t1"), (2, "b", "t2")], ["id", "k", "text"]
+    )
+    grouped = OPERATORS.get("key_value_grouper")(
+        group_by_keys=["k"], id_key="id"
+    ).apply(df)
+    back = OPERATORS.get("naive_reverse_grouper")().apply(grouped)
+    assert sorted((r["id"], r["k"], r["text"]) for r in back.collect()) == \
+        [(0, "a", "t0"), (1, "a", "t1"), (2, "b", "t2")]

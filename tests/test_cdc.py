@@ -22,6 +22,11 @@ def tmp_root():
     shutil.rmtree(d, ignore_errors=True)
 
 
+@pytest.fixture(params=["cow", "mor"])
+def strategy(request):
+    return request.param
+
+
 def make_events(spark, n=2000, batch=500):
     return generate_events(spark, n, batch_size=batch, n_repos=10, n_paths=60)
 
@@ -60,17 +65,21 @@ def pandas_oracle_state(spark, events_df, pipeline_fns=None):
     }
 
 
-def test_delete_semantics_last_wins(spark, tmp_root):
+def test_delete_semantics_last_wins(spark, tmp_root, strategy):
     events = make_events(spark, 2000, 500).persist()
-    table = SnapshotTable(spark, tmp_root, ["repo", "path"], num_buckets=8)
+    # compact_every=3 so the MOR path exercises BOTH delta resolution
+    # (uncompacted tail) and compaction within a 4-epoch replay
+    table = SnapshotTable(spark, tmp_root, ["repo", "path"], num_buckets=8,
+                          strategy=strategy, compact_every=3)
     CdcReplayer(table).replay(events)
     assert table_state(spark, table) == pandas_oracle_state(spark, events)
     events.unpersist()
 
 
-def test_exactly_once_redelivery(spark, tmp_root):
+def test_exactly_once_redelivery(spark, tmp_root, strategy):
     events = make_events(spark, 1500, 500).persist()
-    table = SnapshotTable(spark, tmp_root, ["repo", "path"], num_buckets=8)
+    table = SnapshotTable(spark, tmp_root, ["repo", "path"], num_buckets=8,
+                          strategy=strategy)
     rep = CdcReplayer(table)
     rep.replay(events)
     state1 = table_state(spark, table)
@@ -84,18 +93,42 @@ def test_exactly_once_redelivery(spark, tmp_root):
     events.unpersist()
 
 
-def test_resume_from_checkpoint(spark, tmp_root):
+def test_resume_from_checkpoint(spark, tmp_root, strategy):
     events = make_events(spark, 2000, 400).persist()
     # uninterrupted replay
-    t_full = SnapshotTable(spark, tmp_root + "/full", ["repo", "path"], num_buckets=8)
+    t_full = SnapshotTable(spark, tmp_root + "/full", ["repo", "path"],
+                           num_buckets=8, strategy=strategy)
     CdcReplayer(t_full).replay(events)
     # interrupted: stop after epoch 2, then new replayer resumes
-    t_part = SnapshotTable(spark, tmp_root + "/part", ["repo", "path"], num_buckets=8)
+    t_part = SnapshotTable(spark, tmp_root + "/part", ["repo", "path"],
+                           num_buckets=8, strategy=strategy)
     CdcReplayer(t_part).replay(events, end_epoch=2)
     assert t_part.current_epoch() == 2
     CdcReplayer(t_part).replay(events)  # resume: start defaults to epoch 3
     assert table_state(spark, t_full) == table_state(spark, t_part)
     events.unpersist()
+
+
+def test_mor_schema_evolution_and_compaction(spark, tmp_root):
+    table = SnapshotTable(spark, tmp_root, ["repo", "path"], num_buckets=4,
+                          strategy="mor", compact_every=2)
+    base = spark.createDataFrame(
+        [("r1", "a.py", "print(1)"), ("r1", "b.py", "print(2)")],
+        ["repo", "path", "content"],
+    )
+    table.merge(base, None, epoch=0)
+    evolved = spark.createDataFrame(
+        [("r1", "a.py", "print(3)", "python")],
+        ["repo", "path", "content", "lang"],
+    )
+    m = table.merge(evolved, None, epoch=1)  # delta #1
+    rows = {r["path"]: r for r in table.read().collect()}
+    assert rows["a.py"]["lang"] == "python" and rows["b.py"]["lang"] is None
+    dels = spark.createDataFrame([("r1", "b.py")], ["repo", "path"])
+    m = table.merge(None, dels, epoch=2)  # delta #2 -> triggers compaction
+    assert m["operation"] == "compact" and m["deltas"] == []
+    rows = {r["path"]: r for r in table.read().collect()}
+    assert set(rows) == {"a.py"} and rows["a.py"]["content"] == "print(3)"
 
 
 def test_schema_evolution_midstream(spark, tmp_root):

@@ -272,6 +272,194 @@ def _q_quality_score(spark, sf_dir):
     return df.select("doc_id", F.col("stats.quality_score").alias("quality_score"))
 
 
+def _q_filter_token_num(spark, sf_dir):
+    # simplified BPE-ish token count, same regex on both engines
+    df = _t(spark, sf_dir, "documents")
+    tok = F.size(F.regexp_extract_all(
+        F.col("text"), F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), 1))
+    return (df.withColumn("num_token", tok)
+            .where(F.col("num_token").between(20, 70))
+            .select("doc_id", "num_token"))
+
+
+def _q_filter_stopwords(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    op = OPERATORS.get("stopwords_filter")(min_ratio=0.02, text_key="text")
+    df = op.apply(_t(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id", F.round(F.col("stats.stopwords_ratio"), 6).alias("stopwords_ratio")
+    )
+
+
+def _q_mapper_whitespace_norm(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    op = OPERATORS.get("whitespace_normalization_mapper")(text_key="text")
+    return op.apply(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+
+
+def _q_mapper_remove_specific_chars(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    op = OPERATORS.get("remove_specific_chars_mapper")(
+        chars_to_remove="aeiou", text_key="text"
+    )
+    return op.apply(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+
+
+def _q_selector_random(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    op = OPERATORS.get("random_selector")(select_ratio=0.2, seed=42)
+    return op.apply(_t(spark, sf_dir, "documents")).select("doc_id")
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    op = OPERATORS.get("document_simhash_deduplicator")(text_key="text", id_key="doc_id")
+    return op.apply(_t(spark, sf_dir, "documents")).select("doc_id")
+
+
+def _q_dedup_ngram_jaccard(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    op = OPERATORS.get("ngram_jaccard_deduplicator")(
+        text_key="text", id_key="doc_id", ngram=5, threshold=0.8
+    )
+    return op.apply(_t(spark, sf_dir, "documents")).select("doc_id")
+
+
+def _q_similarity_lsh(spark, sf_dir):
+    from data_juicer_spark.functions.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    emb_d = emb.select("vec_id", F.transform(
+        "embedding", lambda x: x.cast("double")).alias("embedding"))
+    dim = len(emb.select("embedding").first()[0])
+    q = emb_d.where(F.col("vec_id") < 5).selectExpr("vec_id as q_id", "embedding")
+    return lsh_topk(q, emb_d.where(F.col("vec_id") >= 5), dim=dim, k=10,
+                    n_planes=8).select("q_id", "vec_id", "cos_sim", "rank")
+
+
+def _q_analyzer_summary(spark, sf_dir):
+    df = _t(spark, sf_dir, "documents")
+    parts = []
+    for stat, col in (("text_len", F.length("text").cast("double")),
+                      ("n_chars", F.col("n_chars").cast("double"))):
+        parts.append(df.agg(
+            F.lit(stat).alias("stat"),
+            F.count(col).alias("cnt"),
+            F.round(F.avg(col), 6).alias("mean"),
+            F.round(F.stddev_samp(col), 6).alias("stddev"),
+            F.min(col).alias("min_val"),
+            F.max(col).alias("max_val"),
+        ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _q_events_running_sum(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return ev.select(
+        "user_id", "event_id",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+        F.count(F.lit(1)).over(w).alias("running_cnt"),
+    )
+
+
+def _q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) — lag + cumulative
+    window, the streaming-analytics primitive in batch form."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # fractional epoch seconds on both engines (DuckDB epoch() is double;
+    # NTZ → TS cast is identity under the UTC session timezone)
+    secs = F.col("ts").cast("timestamp").cast("double")
+    gap = secs - F.lag(secs).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_id", F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+    )
+
+
+def _q_tpch_q1_like(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2024-06-30"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+            .alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q_tpch_q3_like(spark, sf_dir):
+    """Join-heavy: customer ⋈ orders ⋈ lineitem with selective filters —
+    exercises broadcast joins + pushdown."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+             .alias("revenue"))
+        .where(F.col("revenue") > 1000)
+    )
+
+
+def _q_cdc_replay_lake(spark, sf_dir):
+    """End-to-end CDC micro-replay: synthetic binlog → last-wins compact
+    → cleaning pipeline → MOR merge → final lake state with sha256.
+    Deterministic (seeded generator), verified rows-only by the driver;
+    full parity is pytest-asserted against a pandas oracle."""
+    import tempfile
+    import shutil
+
+    from data_juicer_spark.cdc import CdcReplayer, generate_events
+    from data_juicer_spark.lake import SnapshotTable
+    from data_juicer_spark.pipeline import Pipeline
+
+    root = tempfile.mkdtemp(prefix="q_lake_")
+    try:
+        events = generate_events(spark, 2000, batch_size=500, n_repos=10,
+                                 n_paths=60, num_partitions=8)
+        pipe = Pipeline([
+            {"clean_copyright_mapper": {"text_key": "content"}},
+            {"text_length_filter": {"min_len": 20, "max_len": 10**9,
+                                    "text_key": "content"}},
+        ])
+        table = SnapshotTable(spark, root, ["repo", "path"], num_buckets=8,
+                              strategy="mor", compact_every=3)
+        CdcReplayer(table, pipeline=pipe).replay(events)
+        out = table.read().select(
+            "repo", "path", F.sha2("content", 256).alias("content_sha256")
+        )
+        out = out.persist()
+        out.count()  # materialize before the temp dir vanishes
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "filter_text_length": _q_filter_text_length,
@@ -299,6 +487,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_last_wins": _q_cdc_last_wins,
         "dedup_minhash": _q_dedup_minhash,
         "quality_score": _q_quality_score,
+        "filter_token_num": _q_filter_token_num,
+        "filter_stopwords": _q_filter_stopwords,
+        "mapper_whitespace_norm": _q_mapper_whitespace_norm,
+        "mapper_remove_specific_chars": _q_mapper_remove_specific_chars,
+        "selector_random": _q_selector_random,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "similarity_lsh": _q_similarity_lsh,
+        "analyzer_summary": _q_analyzer_summary,
+        "events_running_sum": _q_events_running_sum,
+        "events_sessionize": _q_events_sessionize,
+        "tpch_q1_like": _q_tpch_q1_like,
+        "tpch_q3_like": _q_tpch_q3_like,
+        "cdc_replay_lake": _q_cdc_replay_lake,
     }
 
 
@@ -485,8 +687,101 @@ def oracle_sql() -> dict[str, str]:
                    6) AS quality_score
             FROM documents
         """,
-        # dedup_minhash: intentionally no oracle (LSH clustering is not
-        # SQL-expressible) — driver records a rows-only check.
+        "filter_token_num": r"""
+            SELECT doc_id, num_token FROM (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])'))
+                       AS num_token
+              FROM documents
+            ) WHERE num_token BETWEEN 20 AND 70
+        """,
+        "filter_stopwords": f"""
+            SELECT doc_id, round(ratio, 6) AS stopwords_ratio FROM (
+              SELECT doc_id,
+                     CASE WHEN len({_WORDS}) = 0 THEN 0.0
+                          ELSE CAST(len(list_filter({_WORDS},
+                                 w -> list_contains({_STOPWORDS}, lower(w)))) AS DOUBLE)
+                               / len({_WORDS}) END AS ratio
+              FROM documents
+            ) WHERE ratio >= 0.02 AND ratio <= 1.0
+        """,
+        "mapper_whitespace_norm": r"""
+            SELECT doc_id, regexp_replace(trim(text), '[\t ]', ' ', 'g') AS text
+            FROM documents
+        """,
+        "mapper_remove_specific_chars": """
+            SELECT doc_id, regexp_replace(text, '[aeiou]', '', 'g') AS text
+            FROM documents
+        """,
+        "analyzer_summary": """
+            SELECT 'text_len' AS stat, count(*) AS cnt,
+                   round(avg(length(text)), 6) AS mean,
+                   round(stddev_samp(length(text)), 6) AS stddev,
+                   CAST(min(length(text)) AS DOUBLE) AS min_val,
+                   CAST(max(length(text)) AS DOUBLE) AS max_val
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', count(*), round(avg(n_chars), 6),
+                   round(stddev_samp(n_chars), 6),
+                   CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE)
+            FROM documents
+        """,
+        "events_running_sum": """
+            SELECT user_id, event_id,
+                   round(sum(value) OVER w, 4) AS running_value,
+                   count(*) OVER w AS running_cnt
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "events_sessionize": """
+            WITH flagged AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT user_id, value,
+                     sum(new_sess) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS session_id
+              FROM flagged
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   round(sum(value), 4) AS session_value
+            FROM sess GROUP BY user_id, session_id
+        """,
+        "tpch_q1_like": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2024-06-30 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3_like": """
+            SELECT l_orderkey, revenue FROM (
+              SELECT l.l_orderkey AS l_orderkey,
+                     round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              WHERE c.c_mktsegment = 'BUILDING'
+              GROUP BY l.l_orderkey
+            ) WHERE revenue > 1000
+        """,
+        # NO oracle (rows-only checks; not SQL-expressible):
+        # dedup_minhash / dedup_simhash / dedup_ngram_jaccard (LSH /
+        # hamming-block / connected-components clustering),
+        # selector_random (engine-seeded sampling), similarity_lsh
+        # (approximate recall), cdc_replay_lake (multi-epoch stateful
+        # MERGE; pytest asserts full pandas-oracle parity instead).
     }
 
 

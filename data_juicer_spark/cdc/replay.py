@@ -185,7 +185,11 @@ class CdcReplayer:
             end_epoch = events.agg(F.max("epoch")).collect()[0][0]
             if end_epoch is None:
                 return []
-        events = events.persist()
+        # don't double-persist (and never unpersist) a cache the caller owns
+        owns_cache = events.storageLevel.useMemory is False \
+            and events.storageLevel.useDisk is False
+        if owns_cache:
+            events = events.persist()
         try:
             out = []
             for ep in range(start_epoch, end_epoch + 1):
@@ -193,4 +197,5 @@ class CdcReplayer:
                 out.append(self.apply_epoch(batch, ep))
             return out
         finally:
-            events.unpersist()
+            if owns_cache:
+                events.unpersist()

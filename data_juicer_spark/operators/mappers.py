@@ -223,6 +223,13 @@ class CleanCopyrightMapper(Mapper):
 
         @pandas_udf(StringType())
         def clean(s: pd.Series) -> pd.Series:
+            # fast path: rows without 'copyright' can't change — select
+            # candidates with one vectorized contains() and only run the
+            # span logic on those (typically a small minority)
+            mask = s.str.contains("copyright", case=False, regex=False).fillna(False)
+            if not mask.any():
+                return s
+
             def one(txt):
                 if txt is None:
                     return txt
@@ -244,7 +251,9 @@ class CleanCopyrightMapper(Mapper):
                     txt = "\n".join(lines[skip:])
                 return txt
 
-            return s.map(one)
+            out = s.copy()
+            out[mask] = s[mask].map(one)
+            return out
 
         return df.withColumn(self.text_key, clean(F.col(self.text_key)))
 

@@ -460,6 +460,29 @@ def _q_cdc_replay_lake(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_dedup_embedding_cosine(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    op = OPERATORS.get("embedding_cosine_deduplicator")(
+        id_key="vec_id", threshold=0.98, n_planes=10
+    )
+    return op.apply(_t(spark, sf_dir, "embeddings")).select("vec_id")
+
+
+def _q_filter_embd_similarity(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroid = [float(x) for x in emb.where(F.col("vec_id") == 0)
+                .first()["embedding"]]
+    op = OPERATORS.get("text_embd_similarity_filter")(
+        centroid=centroid, min_score=0.0, max_score=1.0
+    )
+    return op.apply(emb).select(
+        "vec_id", F.col("stats.embd_sim").alias("embd_sim")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "filter_text_length": _q_filter_text_length,
@@ -501,6 +524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_like": _q_tpch_q1_like,
         "tpch_q3_like": _q_tpch_q3_like,
         "cdc_replay_lake": _q_cdc_replay_lake,
+        "dedup_embedding_cosine": _q_dedup_embedding_cosine,
+        "filter_embd_similarity": _q_filter_embd_similarity,
     }
 
 
@@ -775,6 +800,17 @@ def oracle_sql() -> dict[str, str]:
               WHERE c.c_mktsegment = 'BUILDING'
               GROUP BY l.l_orderkey
             ) WHERE revenue > 1000
+        """,
+        "filter_embd_similarity": """
+            WITH c AS (SELECT embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_dot_product(embedding::DOUBLE[], c.cv) /
+                         (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+                          sqrt(list_dot_product(c.cv, c.cv))), 6) AS embd_sim
+            FROM embeddings, c
+            WHERE list_dot_product(embedding::DOUBLE[], c.cv) /
+                  (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+                   sqrt(list_dot_product(c.cv, c.cv))) >= 0.0
         """,
         # NO oracle (rows-only checks; not SQL-expressible):
         # dedup_minhash / dedup_simhash / dedup_ngram_jaccard (LSH /

@@ -26,7 +26,12 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL (not a crash) for zero-norm vectors: under ANSI mode (Spark 4
+    default) a plain division would abort the whole job on one degenerate
+    row — at 100 TB that single bad vector must not kill the pipeline.
+    NULL scores are excluded by every consumer (range filters, >=
+    threshold dedup joins, top-k orderings)."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def brute_force_topk(

@@ -417,3 +417,53 @@ class NgramJaccardDeduplicator(Deduplicator):
             F.col("node").alias("__loser__")
         )
         return df.join(losers, df[order_col] == F.col("__loser__"), "left_anti")
+
+
+@OPERATORS.register("embedding_cosine_deduplicator")
+class EmbeddingCosineDeduplicator(Deduplicator):
+    """NEW (training-data pipeline op): embedding-cosine near-duplicate
+    removal over an array<float> column. Candidates from random-
+    hyperplane LSH buckets (sign-bit signatures — only same-bucket pairs
+    are compared, no quadratic blowup), verified by exact cosine >=
+    threshold, clustered via connected components, keep min id_key.
+    All shuffle-native; the hyperplane matrix is a literal in the plan.
+    """
+
+    def __init__(self, embedding_key: str = "embedding", threshold: float = 0.95,
+                 n_planes: int = 12, dim: Optional[int] = None,
+                 id_key: Optional[str] = None, seed: int = 42, **kw):
+        super().__init__(**kw)
+        self.embedding_key = embedding_key
+        self.threshold = threshold
+        self.n_planes = n_planes
+        self.dim = dim
+        self.id_key = id_key
+        self.seed = seed
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from data_juicer_spark.functions.similarity import (
+            cosine, hyperplane_signatures,
+        )
+
+        order_col = self.id_key or df.columns[0]
+        dim = self.dim or len(
+            df.select(self.embedding_key).first()[self.embedding_key]
+        )
+        vec_d = F.transform(F.col(self.embedding_key), lambda x: x.cast("double"))
+        sig = hyperplane_signatures(
+            df.select(F.col(order_col).alias("__uid__"), vec_d.alias("__v__")),
+            "__v__", dim, self.n_planes, self.seed,
+        )
+        left, right = sig.alias("l"), sig.alias("r")
+        pairs = (
+            left.join(right, (F.col("l.lsh_bucket") == F.col("r.lsh_bucket"))
+                      & (F.col("l.__uid__") < F.col("r.__uid__")))
+            .select(F.col("l.__uid__").alias("src"), F.col("r.__uid__").alias("dst"),
+                    cosine(F.col("l.__v__"), F.col("r.__v__")).alias("cos"))
+            .where(F.col("cos") >= self.threshold)
+            .select("src", "dst")
+        )
+        comp = connected_components(pairs)
+        losers = comp.where(F.col("node") != F.col("component")).select(
+            F.col("node").alias("__loser__"))
+        return df.join(losers, df[order_col] == F.col("__loser__"), "left_anti")

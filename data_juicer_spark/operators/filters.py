@@ -464,3 +464,42 @@ class TextQualityScoreFilter(_RangeFilter):
         return F.round(
             len_score * 0.25 + alnum * 0.45 + stop_score * 0.30, 6
         )
+
+
+@OPERATORS.register("text_embd_similarity_filter")
+class TextEmbdSimilarityFilter(Filter):
+    """Keep rows whose embedding's cosine similarity to a reference
+    centroid is in range (text_embd_similarity_filter.py shape; the
+    reference scores vs API embeddings — here vs a provided/derived
+    centroid vector, hermetic). Pure higher-order-function dot product.
+    """
+
+    def __init__(self, embedding_key: str = "embedding", centroid=None,
+                 min_score: float = 0.1, max_score: float = 1.0, **kw):
+        super().__init__(**kw)
+        self.embedding_key = embedding_key
+        self.centroid = centroid
+        self.min_score, self.max_score = min_score, max_score
+
+    def stats_exprs(self, df):
+        from data_juicer_spark.functions.similarity import cosine
+
+        centroid = self.centroid
+        if centroid is None:
+            # deterministic default: the dataset mean vector
+            dim = len(df.select(self.embedding_key).first()[self.embedding_key])
+            sums = df.select(*[
+                F.sum(F.element_at(F.col(self.embedding_key), i + 1)).alias(f"s{i}")
+                for i in range(dim)
+            ]).collect()[0]
+            n = df.count()
+            centroid = [sums[f"s{i}"] / n for i in range(dim)]
+        cvec = F.array(*[F.lit(float(v)) for v in centroid])
+        vec_d = F.transform(F.col(self.embedding_key), lambda x: x.cast("double"))
+        return {"embd_sim": F.round(cosine(vec_d, cvec), 6)}
+
+    def keep_expr(self, df):
+        from data_juicer_spark.operators.base import STATS_COL
+
+        return self.keep_between(
+            F.col(f"{STATS_COL}.embd_sim"), self.min_score, self.max_score)

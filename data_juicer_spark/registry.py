@@ -25,6 +25,10 @@ class Registry:
         return deco
 
     def get(self, name: str) -> type:
+        if not self._ops and self.name == "Operators":
+            # lazy self-population so `OPERATORS.get` works without an
+            # explicit `import data_juicer_spark.operators`
+            import data_juicer_spark.operators  # noqa: F401
         if name not in self._ops:
             raise KeyError(
                 f"unknown operator '{name}'; known: {sorted(self._ops)}"

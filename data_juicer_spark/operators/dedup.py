@@ -191,7 +191,12 @@ class DocumentMinhashDeduplicator(Deduplicator):
 
         @pandas_udf(ArrayType(LongType()))
         def minhash(s: pd.Series) -> pd.Series:
-            out = []
+            # shingle hashing per row (sha1 parity with the reference),
+            # then the permutation math batched across MANY rows per
+            # numpy call: rows are packed into slabs of <=8192 shingles,
+            # one (slab x num_perm) matrix multiply + minimum.reduceat
+            # per slab instead of a tiny matmul per row
+            row_hashes: list = []
             for text in s:
                 text = text or ""
                 if lowercase:
@@ -217,15 +222,41 @@ class DocumentMinhashDeduplicator(Deduplicator):
                     }
                 if not tokens:
                     # no shingles → no dedup signal; excluded from banding
-                    out.append(None)
+                    row_hashes.append(None)
                     continue
-                hv = np.fromiter(
-                    (sha1_hash32(t) for t in tokens), dtype=np.uint64, count=len(tokens)
-                )
+                row_hashes.append(np.fromiter(
+                    (sha1_hash32(t) for t in tokens), dtype=np.uint64,
+                    count=len(tokens),
+                ))
+
+            out: list = [None] * len(row_hashes)
+            slab_rows: list = []
+            slab_size = 0
+
+            def flush():
+                if not slab_rows:
+                    return
+                idxs, arrs = zip(*slab_rows)
+                hv = np.concatenate(arrs)
                 phv = np.bitwise_and(
                     (hv[:, None] * perm_a + perm_b) % MERSENNE_PRIME, MAX_HASH
                 )
-                out.append(phv.min(axis=0).astype(np.int64).tolist())
+                starts = np.zeros(len(arrs), dtype=np.int64)
+                np.cumsum([len(a) for a in arrs[:-1]], out=starts[1:])
+                mins = np.minimum.reduceat(phv, starts, axis=0).astype(np.int64)
+                for j, idx in enumerate(idxs):
+                    out[idx] = mins[j].tolist()
+                slab_rows.clear()
+
+            for i, arr in enumerate(row_hashes):
+                if arr is None:
+                    continue
+                slab_rows.append((i, arr))
+                slab_size += len(arr)
+                if slab_size >= 8192:
+                    flush()
+                    slab_size = 0
+            flush()
             return pd.Series(out)
 
         return minhash

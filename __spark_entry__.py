@@ -18,6 +18,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _exact_sum(col, scale: int = 4):
+    """Order-independent float sum: round each value to integer micros,
+    sum as long (exact integer arithmetic — no partition-order rounding
+    ties), scale back. The DuckDB oracles use the identical formulation
+    so the two engines agree bit-exactly regardless of shuffle layout."""
+    micros = F.round(col * F.lit(1_000_000)).cast("long")
+    return F.round(F.sum(micros) / F.lit(1_000_000.0), scale)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: Data-Juicer-style ingest pipeline (clean → quality
     filters → exact dedup) over sf0.001 documents."""
@@ -232,7 +241,7 @@ def _q_events_hourly(spark, sf_dir):
         )
         .agg(
             F.count("*").alias("cnt"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            _exact_sum(F.col("value")).alias("sum_value"),
         )
     )
 
@@ -390,7 +399,7 @@ def _q_events_sessionize(spark, sf_dir):
     )
     return sess.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 4).alias("session_value"),
+        _exact_sum(F.col("value")).alias("session_value"),
     )
 
 
@@ -400,11 +409,14 @@ def _q_tpch_q1_like(spark, sf_dir):
         li.where(F.col("l_shipdate") <= F.lit("2024-06-30"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+            _exact_sum(F.col("l_quantity")).alias("sum_qty"),
+            _exact_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
             .alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(
+                F.sum(F.round(F.col("l_quantity") * F.lit(1_000_000)).cast("long"))
+                / F.lit(1_000_000.0) / F.count(F.lit(1)), 6
+            ).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -420,7 +432,7 @@ def _q_tpch_q3_like(spark, sf_dir):
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .groupBy("l_orderkey")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+        .agg(_exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
              .alias("revenue"))
         .where(F.col("revenue") > 1000)
     )
@@ -604,17 +616,21 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(text, '(?<=[.!?。！？])\s+', chr(10), 'g') AS text
             FROM documents
         """,
-        "dedup_exact": """
+        "dedup_exact": r"""
             SELECT doc_id, text, lang FROM (
               SELECT doc_id, text, lang,
-                     row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                     row_number() OVER (
+                       PARTITION BY md5(regexp_replace(text, '^\s+|\s+$', '', 'g'))
+                       ORDER BY doc_id) AS rn
               FROM documents
             ) WHERE rn = 1
         """,
-        "dedup_exact_lowercase": """
+        "dedup_exact_lowercase": r"""
             SELECT doc_id FROM (
               SELECT doc_id,
-                     row_number() OVER (PARTITION BY md5(lower(text)) ORDER BY doc_id) AS rn
+                     row_number() OVER (
+                       PARTITION BY md5(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'))
+                       ORDER BY doc_id) AS rn
               FROM documents
             ) WHERE rn = 1
         """,
@@ -685,7 +701,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
                    event_type,
                    count(*) AS cnt,
-                   round(sum(value), 4) AS sum_value
+                   round(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0, 4)
+                     AS sum_value
             FROM events GROUP BY 1, 2
         """,
         "cdc_last_wins": """
@@ -776,15 +793,20 @@ def oracle_sql() -> dict[str, str]:
               FROM flagged
             )
             SELECT user_id, session_id, count(*) AS n_events,
-                   round(sum(value), 4) AS session_value
+                   round(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0, 4)
+                     AS session_value
             FROM sess GROUP BY user_id, session_id
         """,
         "tpch_q1_like": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 4) AS sum_qty,
-                   round(sum(l_extendedprice), 4) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(sum(CAST(round(l_quantity * 1000000) AS BIGINT)) / 1000000.0, 4)
+                     AS sum_qty,
+                   round(sum(CAST(round(l_extendedprice * 1000000) AS BIGINT)) / 1000000.0, 4)
+                     AS sum_base_price,
+                   round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT))
+                         / 1000000.0, 4) AS sum_disc_price,
+                   round(sum(CAST(round(l_quantity * 1000000) AS BIGINT)) / 1000000.0
+                         / count(*), 6) AS avg_qty,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '2024-06-30 00:00:00'
@@ -793,7 +815,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q3_like": """
             SELECT l_orderkey, revenue FROM (
               SELECT l.l_orderkey AS l_orderkey,
-                     round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+                     round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000)
+                               AS BIGINT)) / 1000000.0, 4) AS revenue
               FROM lineitem l
               JOIN orders o ON l.l_orderkey = o.o_orderkey
               JOIN customer c ON o.o_custkey = c.c_custkey

@@ -73,10 +73,12 @@ class CdcReplayer:
             salted = events.withColumn(
                 "__salt__", F.pmod(F.col("seq"), F.lit(self.salt_buckets))
             )
+            # payload = every non-key column, so schema evolution (extra
+            # event columns) survives the salted path identically to the
+            # unsalted window path
+            payload = [c for c in events.columns if c not in KEY_COLS]
             level1 = salted.groupBy(*KEY_COLS, "__salt__").agg(
-                F.max_by(
-                    F.struct("seq", "epoch", "op", "commit", "lang", "content"), "seq"
-                ).alias("__last__")
+                F.max_by(F.struct(*payload), "seq").alias("__last__")
             )
             level2 = level1.groupBy(*KEY_COLS).agg(
                 F.max_by("__last__", F.col("__last__.seq")).alias("__last__")

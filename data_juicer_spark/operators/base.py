@@ -82,6 +82,8 @@ class Filter(Operator):
     def compute_stats(self, df: DataFrame) -> DataFrame:
         """Merge this op's stats into the nested ``stats`` struct column."""
         new_stats = self.stats_exprs(df)
+        if not new_stats:  # NON_STATS filters (e.g. suffix_filter)
+            return df
         if STATS_COL in df.columns:
             existing = df.schema[STATS_COL].dataType.fieldNames()
             fields = [

@@ -135,11 +135,20 @@ class DocumentDeduplicator(Deduplicator):
         self.id_key = id_key
 
     def hash_expr(self):
+        # reference parity (document_deduplicator.py:43-66): optional
+        # lowercase; ignore_non_character strips \s+|\d+|[ASCII punct]
+        # (keeps all Unicode letters); the text is always strip()ped
+        # before hashing.
         c = F.col(self.text_key)
         if self.lowercase:
             c = F.lower(c)
         if self.ignore_non_character:
-            c = F.regexp_replace(c, r"\s|\n|[^a-zA-Z0-9一-鿿]", "")
+            import re as _re
+            import string as _string
+
+            pat = r"\s+|\d+|[" + _re.escape(_string.punctuation) + "]"
+            c = F.regexp_replace(c, pat, "")
+        c = F.regexp_replace(c, r"^\s+|\s+$", "")
         return F.md5(c)
 
     def apply(self, df: DataFrame) -> DataFrame:

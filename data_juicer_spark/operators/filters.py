@@ -390,17 +390,21 @@ class PerplexityFilter(_RangeFilter):
 @OPERATORS.register("suffix_filter")
 class SuffixFilter(Filter):
     """keep if suffix column ∈ suffixes (suffix_filter.py:10-44,
-    NON_STATS filter)."""
+    NON_STATS filter). Exposes keep_expr (no stats) so the CDC flag-mode
+    pipeline can AND it into the keep flag instead of dropping rows."""
 
     def __init__(self, suffixes=(), suffix_key: str = "suffix", **kw):
         super().__init__(**kw)
         self.suffixes = list(suffixes) if not isinstance(suffixes, str) else [suffixes]
         self.suffix_key = suffix_key
 
-    def apply(self, df):
+    def stats_exprs(self, df):
+        return {}
+
+    def keep_expr(self, df):
         if not self.suffixes:
-            return df
-        return df.filter(F.col(self.suffix_key).isin(self.suffixes))
+            return F.lit(True)
+        return F.col(self.suffix_key).isin(self.suffixes)
 
 
 @OPERATORS.register("specified_field_filter")
@@ -412,8 +416,11 @@ class SpecifiedFieldFilter(Filter):
         self.field_key = field_key
         self.target = list(target_value)
 
-    def apply(self, df):
-        return df.filter(F.col(self.field_key).isin(self.target))
+    def stats_exprs(self, df):
+        return {}
+
+    def keep_expr(self, df):
+        return F.col(self.field_key).isin(self.target)
 
 
 @OPERATORS.register("specified_numeric_field_filter")
@@ -425,9 +432,12 @@ class SpecifiedNumericFieldFilter(Filter):
         self.field_key = field_key
         self.min_value, self.max_value = min_value, max_value
 
-    def apply(self, df):
-        return df.filter(
-            self.keep_between(F.col(self.field_key), self.min_value, self.max_value)
+    def stats_exprs(self, df):
+        return {}
+
+    def keep_expr(self, df):
+        return self.keep_between(
+            F.col(self.field_key), self.min_value, self.max_value
         )
 
 
@@ -440,8 +450,11 @@ class GeneralFieldFilter(Filter):
         super().__init__(**kw)
         self.condition = filter_condition
 
-    def apply(self, df):
-        return df.filter(F.expr(self.condition))
+    def stats_exprs(self, df):
+        return {}
+
+    def keep_expr(self, df):
+        return F.expr(self.condition)
 
 
 @OPERATORS.register("text_quality_score_filter")

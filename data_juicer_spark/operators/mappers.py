@@ -183,11 +183,14 @@ class RemoveCommentsMapper(Mapper):
         self.inline, self.multiline = inline, multiline
 
     def expr(self, col: Column) -> Column:
+        # reference order: inline first, then multiline; both patterns run
+        # with MULTILINE so '$'/'^' anchor per line (remove_comments_mapper
+        # .py:54-57 applies re.MULTILINE to both)
         out = col
+        if self.inline:
+            out = F.regexp_replace(out, r"(?m)[^\\]%.+$", "")
         if self.multiline:
             out = F.regexp_replace(out, r"(?m)^%.*\n?", "")
-        if self.inline:
-            out = F.regexp_replace(out, r"[^\\]%.+$", "")
         return out
 
 
@@ -226,7 +229,7 @@ class CleanCopyrightMapper(Mapper):
             # fast path: rows without 'copyright' can't change — select
             # candidates with one vectorized contains() and only run the
             # span logic on those (typically a small minority)
-            mask = s.str.contains("copyright", case=False, regex=False).fillna(False)
+            mask = s.str.contains("copyright", case=False, regex=False, na=False)
             if not mask.any():
                 return s
 

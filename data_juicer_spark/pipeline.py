@@ -42,7 +42,9 @@ class Pipeline:
         `flag_col` instead of dropping — the CDC replay path uses this
         so 'kept rows' and 'rows demoted to deletes' come out of ONE
         lineage with no anti-join (one shuffle less per micro-batch)."""
-        from data_juicer_spark.operators.base import Filter
+        from data_juicer_spark.operators.base import (
+            Deduplicator, Filter, Selector,
+        )
 
         self.observations = {}
         if filter_mode == "flag":
@@ -56,6 +58,19 @@ class Pipeline:
                     and type(op).keep_expr is not Filter.keep_expr:
                 df = op.compute_stats(df)
                 df = df.withColumn(flag_col, F.col(flag_col) & op.keep_expr(df))
+            elif filter_mode == "flag" and isinstance(
+                    op, (Filter, Deduplicator, Selector)):
+                # a row-DROPPING op in flag mode would silently swallow
+                # rows (incl. op='D' delete events) instead of demoting
+                # them to lake deletes — refuse loudly rather than
+                # corrupt CDC state (replayer invariant: filtered files
+                # must become table deletes)
+                raise ValueError(
+                    f"operator '{op.name}' cannot run in filter_mode="
+                    f"'flag': it drops rows via apply() and does not "
+                    f"express a keep_expr. Use filter_mode='drop' or "
+                    f"exclude it from the CDC replay pipeline."
+                )
             else:
                 df = op.apply(df)
         if self.observe and self.ops:

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 _FORMAT_BY_EXT = {
     "jsonl": "json", "json": "json", "parquet": "parquet", "csv": "csv",
-    "tsv": "csv", "txt": "text", "text": "text", "md": "text",
+    "tsv": "tsv", "txt": "text", "text": "text", "md": "text",
     "bin": "binaryFile", "png": "binaryFile", "jpg": "binaryFile",
     "wav": "binaryFile", "mp4": "binaryFile",
 }

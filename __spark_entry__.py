@@ -346,9 +346,10 @@ def _q_similarity_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     emb_d = emb.select("vec_id", F.transform(
         "embedding", lambda x: x.cast("double")).alias("embedding"))
-    dim = len(emb.select("embedding").first()[0])
     q = emb_d.where(F.col("vec_id") < 5).selectExpr("vec_id as q_id", "embedding")
-    return lsh_topk(q, emb_d.where(F.col("vec_id") >= 5), dim=dim, k=10,
+    # dim=None: bucket signatures come from the Arrow-batched UDF path —
+    # no .first() driver action at plan-build time
+    return lsh_topk(q, emb_d.where(F.col("vec_id") >= 5), k=10,
                     n_planes=8).select("q_id", "vec_id", "cos_sim", "rank")
 
 

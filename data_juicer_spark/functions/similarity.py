@@ -54,23 +54,50 @@ def brute_force_topk(
     )
 
 
-def hyperplane_signatures(df: DataFrame, vec: str, dim: int, n_planes: int = 16,
-                          seed: int = 42, out: str = "lsh_bucket") -> DataFrame:
+def hyperplane_signatures(df: DataFrame, vec: str, dim: int | None = None,
+                          n_planes: int = 16, seed: int = 42,
+                          out: str = "lsh_bucket") -> DataFrame:
     """Random-hyperplane LSH bucket id (sign bits packed into a long).
-    Plane matrix is tiny → embedded as literals in one JVM expression."""
-    rng = np.random.RandomState(seed)
-    planes = rng.normal(size=(n_planes, dim))
-    bucket = F.lit(0).cast("long")
-    col = F.col(vec)
-    for i in range(n_planes):
-        plane = F.array(*[F.lit(float(v)) for v in planes[i]])
-        bit = (dot(col, plane) > 0).cast("long")
-        bucket = bucket + F.shiftleft(bit, i)
-    return df.withColumn(out, bucket)
+
+    With an explicit ``dim`` the plane matrix is embedded as literals in
+    one JVM expression. With ``dim=None`` the bucket is computed in an
+    Arrow-batched pandas UDF that derives the dimension from the vectors
+    themselves (planes regenerated per batch from the fixed seed — cheap
+    and deterministic), so building the plan triggers ZERO driver
+    actions/scans."""
+    if dim is not None:
+        rng = np.random.RandomState(seed)
+        planes = rng.normal(size=(n_planes, dim))
+        bucket = F.lit(0).cast("long")
+        col = F.col(vec)
+        for i in range(n_planes):
+            plane = F.array(*[F.lit(float(v)) for v in planes[i]])
+            bit = (dot(col, plane) > 0).cast("long")
+            bucket = bucket + F.shiftleft(bit, i)
+        return df.withColumn(out, bucket)
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    n_pl, sd = n_planes, seed
+
+    @pandas_udf(LongType())
+    def bucket_udf(s):
+        import pandas as pd
+
+        if len(s) == 0:
+            return pd.Series([], dtype="int64")
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in s])
+        planes = np.random.RandomState(sd).normal(size=(n_pl, mat.shape[1]))
+        bits = (mat @ planes.T) > 0
+        weights = (1 << np.arange(n_pl)).astype(np.int64)
+        return pd.Series(bits @ weights)
+
+    return df.withColumn(out, bucket_udf(F.col(vec)))
 
 
 def lsh_topk(
-    queries: DataFrame, corpus: DataFrame, dim: int, k: int = 10,
+    queries: DataFrame, corpus: DataFrame, dim: int | None = None, k: int = 10,
     n_planes: int = 12, q_id: str = "q_id", c_id: str = "vec_id",
     vec: str = "embedding",
 ) -> DataFrame:

@@ -25,6 +25,24 @@ from pyspark.sql import functions as F
 STATS_COL = "stats"  # our __dj__stats__ (constant.py:18), typed struct
 
 
+def merge_stats(df: DataFrame, new_stats: Dict[str, Column]) -> DataFrame:
+    """Merge stat columns into the nested ``stats`` struct (add-only
+    schema evolution, mirroring base_op.py:275-295's stats injection)."""
+    if not new_stats:
+        return df
+    if STATS_COL in df.columns:
+        existing = df.schema[STATS_COL].dataType.fieldNames()
+        fields = [
+            F.col(f"{STATS_COL}.{f}").alias(f)
+            for f in existing
+            if f not in new_stats
+        ]
+    else:
+        fields = []
+    fields += [c.alias(k) for k, c in new_stats.items()]
+    return df.withColumn(STATS_COL, F.struct(*fields))
+
+
 class Operator:
     _op_name = "operator"
     text_key = "text"
@@ -81,20 +99,7 @@ class Filter(Operator):
 
     def compute_stats(self, df: DataFrame) -> DataFrame:
         """Merge this op's stats into the nested ``stats`` struct column."""
-        new_stats = self.stats_exprs(df)
-        if not new_stats:  # NON_STATS filters (e.g. suffix_filter)
-            return df
-        if STATS_COL in df.columns:
-            existing = df.schema[STATS_COL].dataType.fieldNames()
-            fields = [
-                F.col(f"{STATS_COL}.{f}").alias(f)
-                for f in existing
-                if f not in new_stats
-            ]
-        else:
-            fields = []
-        fields += [c.alias(k) for k, c in new_stats.items()]
-        return df.withColumn(STATS_COL, F.struct(*fields))
+        return merge_stats(df, self.stats_exprs(df))
 
     def apply(self, df: DataFrame) -> DataFrame:
         return self.compute_stats(df).filter(self.keep_expr(df))

@@ -313,77 +313,150 @@ class DocumentMinhashDeduplicator(Deduplicator):
 
 @OPERATORS.register("document_simhash_deduplicator")
 class DocumentSimhashDeduplicator(Deduplicator):
-    """SimHash dedup (document_simhash_deduplicator.py:42-237): 64-bit
-    simhash over word shingles; candidate pairs via block permutation
-    (split into hamming_distance+1 blocks — identical block ⇒ candidate),
-    verified by hamming distance, clustered, keep min id."""
+    """SimHash dedup mirroring the reference's parameter surface and
+    pipeline (document_simhash_deduplicator.py:42-237): tokenization ∈
+    {space, punctuation, character} with ``window_size`` shingling
+    (:112-133, duplicates weighted), optional lowercase/ignore_pattern,
+    64-bit simhash = per-bit majority over shingle hashes, candidate
+    pairs via block decomposition (hamming ≤ d ⇒ ≥ num_blocks−d
+    identical blocks, so matching on ANY shared block is a recall-safe
+    superset), exact Hamming verification ≤ ``hamming_distance``, BFS
+    clustering (= connected components here), keep-first = min id
+    (:203-219). Documented deviation: shingle hashes are md5[:8]
+    (deterministic, hermetic) instead of simhash-pybind's unsigned_hash
+    — the library isn't available in this environment; cluster goldens
+    ported from the reference's unit test still reproduce because
+    near-dup geometry depends on shared shingles, not the bit mixer.
 
-    def __init__(self, window_size: int = 6, hamming_distance: int = 4,
-                 lowercase: bool = True, id_key: Optional[str] = None, **kw):
+    Scale guards (this engine, not the reference): exact-equal simhashes
+    collapse via ONE groupBy before any join (mass duplicates never hit
+    the pair join), the block self-join runs over DISTINCT simhash
+    values only, and blocks bigger than ``max_block_size`` distinct
+    values are dropped from candidate generation (capped like
+    NgramJaccardDeduplicator.max_shingle_freq) so a hot block value
+    cannot go quadratic."""
+
+    def __init__(self, tokenization: str = "space", window_size: int = 6,
+                 lowercase: bool = True, ignore_pattern: Optional[str] = None,
+                 num_blocks: int = 6, hamming_distance: int = 4,
+                 id_key: Optional[str] = None, max_block_size: int = 2000, **kw):
         super().__init__(**kw)
+        if hamming_distance >= num_blocks:
+            raise ValueError("hamming_distance must be < num_blocks")
+        self.tokenization = tokenization
         self.window = window_size
-        self.ham = hamming_distance
         self.lowercase = lowercase
+        self.ignore_pattern = ignore_pattern
+        self.num_blocks = num_blocks
+        self.ham = hamming_distance
         self.id_key = id_key
-        self.num_blocks = hamming_distance + 1
+        self.max_block_size = max_block_size
 
     def _simhash_udf(self):
         window, lowercase = self.window, self.lowercase
+        tokenization = self.tokenization
+        ignore_pattern = self.ignore_pattern
 
         @pandas_udf(LongType())
         def simhash(s: pd.Series) -> pd.Series:
+            if ignore_pattern == r"\p{P}":
+                # reference default in its tests; python `re` has no \p —
+                # strip unicode punctuation categories explicitly
+                import unicodedata
+
+                def strip_ignored(t):
+                    return "".join(
+                        c for c in t
+                        if not unicodedata.category(c).startswith("P"))
+            elif ignore_pattern:
+                ign = re.compile(ignore_pattern)
+
+                def strip_ignored(t):
+                    return ign.sub("", t)
+            else:
+                strip_ignored = None
+            punct_re = re.compile(r"\W")
+            weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
             out = np.zeros(len(s), dtype=np.int64)
             for i, text in enumerate(s):
-                text = (text or "")
+                text = text or ""
                 if lowercase:
                     text = text.lower()
-                toks = [t for t in re.split(r"[ \n\t]", text) if t]
-                shingles = [
-                    " ".join(toks[j : j + window])
-                    for j in range(max(len(toks) - window + 1, 0))
-                ] or toks or [text]
-                acc = np.zeros(64, dtype=np.int64)
-                for sh in shingles:
-                    digest = hashlib.md5(sh.encode()).digest()[:8]
-                    bits = np.unpackbits(
-                        np.frombuffer(digest, dtype=np.uint8), bitorder="little"
-                    )
-                    acc += np.where(bits == 1, 1, -1)
-                val = 0
-                for b in range(64):
-                    if acc[b] > 0:
-                        val |= 1 << b
-                out[i] = np.int64(np.uint64(val).astype(np.int64))
+                if strip_ignored is not None:
+                    text = strip_ignored(text)
+                if tokenization == "character":
+                    shingles = [
+                        text[j: j + window]
+                        for j in range(max(len(text) - window + 1, 0))
+                    ]
+                else:
+                    if tokenization == "punctuation":
+                        toks = punct_re.split(text)
+                    else:  # space
+                        toks = [t for t in re.split(r"[ \n\t]", text) if t]
+                    shingles = [
+                        " ".join(toks[j: j + window])
+                        for j in range(max(len(toks) - window + 1, 0))
+                    ] or ([" ".join(toks)] if toks else [])
+                if not shingles:
+                    shingles = [text]
+                # one u64 hash per shingle, then vectorized bit-majority
+                h = np.fromiter(
+                    (int.from_bytes(hashlib.md5(sh.encode()).digest()[:8],
+                                    "little") for sh in shingles),
+                    dtype=np.uint64, count=len(shingles),
+                )
+                bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
+                maj = (2 * bits.sum(axis=0)) > len(shingles)
+                val = np.uint64((weights[maj]).sum(dtype=np.uint64))
+                out[i] = int(val.astype(np.int64))
             return pd.Series(out)
 
         return simhash
 
-    def apply(self, df: DataFrame) -> DataFrame:
-        order_col = self.id_key or df.columns[0]
-        sh = self._simhash_udf()
-        sig = df.select(F.col(order_col).alias("__uid__"),
-                        sh(F.col(self.text_key)).alias("__simhash__"))
+    def _block_exprs(self):
         nb = self.num_blocks
         width = 64 // nb
-        block_exprs = []
+        exprs = []
         for b in range(nb):
             shift = b * width
             w = width + (64 % nb if b == nb - 1 else 0)
             mask = (1 << w) - 1
-            block_exprs.append(
+            exprs.append(
                 F.struct(
                     F.lit(b).alias("block_id"),
                     (F.shiftrightunsigned(F.col("__simhash__"), shift)
                      .bitwiseAND(F.lit(mask))).alias("block_val"),
                 )
             )
-        blocks = sig.select(
-            "__uid__", "__simhash__", F.explode(F.array(*block_exprs)).alias("blk")
+        return exprs
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        order_col = self.id_key or df.columns[0]
+        sh = self._simhash_udf()
+        sig = df.select(F.col(order_col).alias("__uid__"),
+                        sh(F.col(self.text_key)).alias("__simhash__"))
+        # 1) identical simhashes are dups by definition (hd=0): collapse
+        #    them with one groupBy; only DISTINCT values enter the join
+        reps = sig.groupBy("__simhash__").agg(F.min("__uid__").alias("__uid__"))
+        exact_edges = (
+            sig.join(reps.select("__simhash__",
+                                 F.col("__uid__").alias("__rep__")), "__simhash__")
+            .where(F.col("__uid__") != F.col("__rep__"))
+            .select(F.col("__uid__").alias("src"), F.col("__rep__").alias("dst"))
+        )
+        # 2) block-decomposition candidates over distinct simhashes, capped
+        blocks = reps.select(
+            "__uid__", "__simhash__",
+            F.explode(F.array(*self._block_exprs())).alias("blk"),
         ).select("__uid__", "__simhash__", "blk.block_id", "blk.block_val")
-        left = blocks.alias("l")
-        right = blocks.alias("r")
-        ham = self.ham
-        cand = (
+        ok = (blocks.groupBy("block_id", "block_val").count()
+              .where((F.col("count") > 1) & (F.col("count") <= self.max_block_size))
+              .select("block_id", "block_val"))
+        blocks = blocks.join(ok, ["block_id", "block_val"])
+        left, right = blocks.alias("l"), blocks.alias("r")
+        near_edges = (
             left.join(
                 right,
                 (F.col("l.block_id") == F.col("r.block_id"))
@@ -397,11 +470,11 @@ class DocumentSimhashDeduplicator(Deduplicator):
                     F.col("l.__simhash__").bitwiseXOR(F.col("r.__simhash__"))
                 ).alias("hd"),
             )
-            .where(F.col("hd") <= ham)
+            .where(F.col("hd") <= self.ham)
             .select("src", "dst")
             .distinct()
         )
-        comp = connected_components(cand)
+        comp = connected_components(exact_edges.unionByName(near_edges))
         losers = comp.where(F.col("node") != F.col("component")).select(
             F.col("node").alias("__loser__")
         )
@@ -464,14 +537,24 @@ class EmbeddingCosineDeduplicator(Deduplicator):
     """NEW (training-data pipeline op): embedding-cosine near-duplicate
     removal over an array<float> column. Candidates from random-
     hyperplane LSH buckets (sign-bit signatures — only same-bucket pairs
-    are compared, no quadratic blowup), verified by exact cosine >=
-    threshold, clustered via connected components, keep min id_key.
-    All shuffle-native; the hyperplane matrix is a literal in the plan.
+    are compared), verified by exact cosine >= threshold, clustered via
+    connected components, keep min id_key.
+
+    Scale guards:
+    - zero driver actions at plan-build time: dim comes from the param
+      if given, else the signature UDF derives it per Arrow batch;
+    - bit-identical vectors collapse FIRST via a hash groupBy (star
+      edges to the min uid) so a dense cluster of true duplicates never
+      reaches the pair join;
+    - remaining LSH buckets are size-capped (``max_bucket_size``,
+      mirroring NgramJaccardDeduplicator.max_shingle_freq) so one hot
+      bucket cannot go quadratic.
     """
 
     def __init__(self, embedding_key: str = "embedding", threshold: float = 0.95,
                  n_planes: int = 12, dim: Optional[int] = None,
-                 id_key: Optional[str] = None, seed: int = 42, **kw):
+                 id_key: Optional[str] = None, seed: int = 42,
+                 max_bucket_size: int = 2000, **kw):
         super().__init__(**kw)
         self.embedding_key = embedding_key
         self.threshold = threshold
@@ -479,6 +562,7 @@ class EmbeddingCosineDeduplicator(Deduplicator):
         self.dim = dim
         self.id_key = id_key
         self.seed = seed
+        self.max_bucket_size = max_bucket_size
 
     def apply(self, df: DataFrame) -> DataFrame:
         from data_juicer_spark.functions.similarity import (
@@ -486,16 +570,34 @@ class EmbeddingCosineDeduplicator(Deduplicator):
         )
 
         order_col = self.id_key or df.columns[0]
-        dim = self.dim or len(
-            df.select(self.embedding_key).first()[self.embedding_key]
-        )
         vec_d = F.transform(F.col(self.embedding_key), lambda x: x.cast("double"))
         sig = hyperplane_signatures(
             df.select(F.col(order_col).alias("__uid__"), vec_d.alias("__v__")),
-            "__v__", dim, self.n_planes, self.seed,
+            "__v__", self.dim, self.n_planes, self.seed,
+        ).withColumn("__vk__", F.md5(F.col("__v__").cast("string")))
+        # 1) collapse bit-identical vectors (guaranteed cos=1 duplicates)
+        reps = sig.groupBy("__vk__").agg(
+            F.min(F.struct("__uid__", "__v__", "lsh_bucket")).alias("__r__")
+        ).select(
+            F.col("__r__.__uid__").alias("__uid__"),
+            F.col("__r__.__v__").alias("__v__"),
+            F.col("__r__.lsh_bucket").alias("lsh_bucket"),
+            "__vk__",
         )
-        left, right = sig.alias("l"), sig.alias("r")
-        pairs = (
+        exact_edges = (
+            sig.join(reps.select("__vk__", F.col("__uid__").alias("__rep__")), "__vk__")
+            .where(F.col("__uid__") != F.col("__rep__"))
+            .select(F.col("__uid__").alias("src"), F.col("__rep__").alias("dst"))
+        )
+        # 2) capped LSH bucket join over distinct vectors only
+        ok_buckets = (
+            reps.groupBy("lsh_bucket").count()
+            .where((F.col("count") > 1) & (F.col("count") <= self.max_bucket_size))
+            .select("lsh_bucket")
+        )
+        capped = reps.join(ok_buckets, "lsh_bucket")
+        left, right = capped.alias("l"), capped.alias("r")
+        near_edges = (
             left.join(right, (F.col("l.lsh_bucket") == F.col("r.lsh_bucket"))
                       & (F.col("l.__uid__") < F.col("r.__uid__")))
             .select(F.col("l.__uid__").alias("src"), F.col("r.__uid__").alias("dst"),
@@ -503,7 +605,7 @@ class EmbeddingCosineDeduplicator(Deduplicator):
             .where(F.col("cos") >= self.threshold)
             .select("src", "dst")
         )
-        comp = connected_components(pairs)
+        comp = connected_components(exact_edges.unionByName(near_edges))
         losers = comp.where(F.col("node") != F.col("component")).select(
             F.col("node").alias("__loser__"))
         return df.join(losers, df[order_col] == F.col("__loser__"), "left_anti")

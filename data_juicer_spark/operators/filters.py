@@ -494,22 +494,37 @@ class TextEmbdSimilarityFilter(Filter):
         self.centroid = centroid
         self.min_score, self.max_score = min_score, max_score
 
+    def _vec_d(self):
+        return F.transform(F.col(self.embedding_key), lambda x: x.cast("double"))
+
     def stats_exprs(self, df):
         from data_juicer_spark.functions.similarity import cosine
 
-        centroid = self.centroid
-        if centroid is None:
-            # deterministic default: the dataset mean vector
-            dim = len(df.select(self.embedding_key).first()[self.embedding_key])
-            sums = df.select(*[
-                F.sum(F.element_at(F.col(self.embedding_key), i + 1)).alias(f"s{i}")
-                for i in range(dim)
-            ]).collect()[0]
-            n = df.count()
-            centroid = [sums[f"s{i}"] / n for i in range(dim)]
-        cvec = F.array(*[F.lit(float(v)) for v in centroid])
-        vec_d = F.transform(F.col(self.embedding_key), lambda x: x.cast("double"))
-        return {"embd_sim": F.round(cosine(vec_d, cvec), 6)}
+        cvec = F.array(*[F.lit(float(v)) for v in self.centroid])
+        return {"embd_sim": F.round(cosine(self._vec_d(), cvec), 6)}
+
+    def compute_stats(self, df):
+        if self.centroid is not None:
+            return super().compute_stats(df)
+        # default centroid = dataset mean vector, computed LAZILY: a
+        # posexplode→avg-per-position→reassemble subquery broadcast-joined
+        # onto every row. Zero driver actions at plan-build time (the old
+        # path ran .first()+.collect()+.count() = two full scans before
+        # the operator even returned a plan).
+        from data_juicer_spark.functions.similarity import cosine
+        from data_juicer_spark.operators.base import merge_stats
+
+        cent = (
+            df.select(F.posexplode(self._vec_d()).alias("__pos__", "__x__"))
+            .groupBy("__pos__").agg(F.avg("__x__").alias("__m__"))
+            .agg(F.sort_array(F.collect_list(F.struct("__pos__", "__m__")))
+                 .getField("__m__").alias("__cent__"))
+        )
+        out = merge_stats(
+            df.crossJoin(F.broadcast(cent)),
+            {"embd_sim": F.round(cosine(self._vec_d(), F.col("__cent__")), 6)},
+        )
+        return out.drop("__cent__")
 
     def keep_expr(self, df):
         from data_juicer_spark.operators.base import STATS_COL

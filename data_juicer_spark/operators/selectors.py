@@ -80,7 +80,19 @@ class FrequencySpecifiedFieldSelector(Selector):
 @OPERATORS.register("range_specified_field_selector")
 class RangeSpecifiedFieldSelector(Selector):
     """keep the percentile window [lower,upper] of the sorted field
-    (range_specified_field_selector.py:64-117) via percent_rank."""
+    (range_specified_field_selector.py:64-117), EXACT percent_rank
+    semantics without the single-task global window:
+
+      rank(row) = (#rows with smaller value) + (tie position by id_key)
+      pr        = rank / (n - 1)
+
+    The "#rows below" term comes from an exact distributed prefix sum
+    over the DISTINCT-value count table (functions/ranks.py — one
+    range-partition shuffle + a #partitions-row driver action); the tie
+    position is a window PARTITIONED by the value, so no stage funnels
+    the dataset through one task. Without id_key, ties share the rank of
+    their first row — identical to SQL percent_rank over the value alone.
+    """
 
     def __init__(self, field_key: str = "", lower_percentile: float = 0.0,
                  upper_percentile: float = 1.0, id_key: Optional[str] = None, **kw):
@@ -90,13 +102,22 @@ class RangeSpecifiedFieldSelector(Selector):
         self.id_key = id_key
 
     def apply(self, df: DataFrame) -> DataFrame:
+        from data_juicer_spark.functions.ranks import exclusive_prefix_sum
+
         col = _resolve(self.field_key)
-        order = [col.asc()] + ([F.col(self.id_key).asc()] if self.id_key else [])
-        w = Window.orderBy(*order)
+        cnts = df.groupBy(col.alias("__v__")).agg(F.count(F.lit(1)).alias("__w__"))
+        cum, n = exclusive_prefix_sum(cnts, "__v__", "__w__", out="__below__")
+        joined = df.join(cum.select("__v__", "__below__"), col == F.col("__v__"))
+        if self.id_key:
+            w = Window.partitionBy(col).orderBy(F.col(self.id_key).asc())
+            idx = F.col("__below__") + F.row_number().over(w) - 1
+        else:
+            idx = F.col("__below__")
+        pr = F.when(F.lit(n) > 1, idx / F.lit(float(n - 1))).otherwise(F.lit(0.0))
         return (
-            df.withColumn("__pr__", F.percent_rank().over(w))
+            joined.withColumn("__pr__", pr)
             .where((F.col("__pr__") >= self.lo) & (F.col("__pr__") <= self.hi))
-            .drop("__pr__")
+            .drop("__v__", "__below__", "__pr__")
         )
 
 

@@ -1,0 +1,296 @@
+"""Exhaustive sequential oracles for the clustering deduplicators.
+
+Each distributed op's kept set must EQUAL a brute-force single-process
+implementation of the same math (all candidate pairs + union-find) on
+real sf0.01 data — the reference's golden pattern
+(/root/reference/tests/ops/deduplicator/*) made exhaustive instead of
+four hand-picked texts. Also ports the reference's simhash unit-test
+fixture and the mass-duplicate O(n) scale guards.
+"""
+
+import hashlib
+import json
+import os
+import re
+import time
+import unicodedata
+
+import numpy as np
+import pytest
+
+import data_juicer_spark.operators  # noqa: F401
+from data_juicer_spark.operators.dedup import (
+    MERSENNE_PRIME, MAX_HASH, minhash_permutations, optimal_param,
+    sha1_hash32,
+)
+from data_juicer_spark.registry import OPERATORS
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures_simhash_en.json")
+
+
+@pytest.fixture(scope="module")
+def docs01(spark):
+    return (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .select("doc_id", "text").orderBy("doc_id")
+    )
+
+
+@pytest.fixture(scope="module")
+def texts01(docs01):
+    rows = docs01.collect()
+    return {r["doc_id"]: r["text"] for r in rows}
+
+
+class UnionFind:
+    def __init__(self):
+        self.parent = {}
+
+    def find(self, x):
+        p = self.parent.setdefault(x, x)
+        if p != x:
+            self.parent[x] = p = self.find(p)
+        return p
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            # min-root, like the reference's UnionFind (helper_func.py:9-24)
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            self.parent[hi] = lo
+
+    def kept(self, all_ids):
+        drop = set()
+        for x in all_ids:
+            r = self.find(x)
+            if r != x:
+                drop.add(x)
+        return sorted(set(all_ids) - drop)
+
+
+def spark_kept(op, df, id_col="doc_id"):
+    return sorted(r[id_col] for r in op.apply(df).select(id_col).collect())
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH: sequential reimplementation (signature → bands → buckets →
+# union-find), identical math to the reference
+# ---------------------------------------------------------------------------
+
+def _minhash_sig(text, perm_a, perm_b, window=5):
+    text = (text or "").lower()
+    toks = [t for t in re.split(r"[ \n\t]", text) if t]
+    tokens = {
+        " ".join(toks[i: i + window]).encode()
+        for i in range(len(toks) - window + 1)
+    }
+    if not tokens:
+        return None
+    hv = np.fromiter((sha1_hash32(t) for t in tokens), dtype=np.uint64,
+                     count=len(tokens))
+    phv = np.bitwise_and((hv[:, None] * perm_a + perm_b) % MERSENNE_PRIME,
+                         MAX_HASH)
+    return phv.min(axis=0).astype(np.int64)
+
+
+def test_minhash_exhaustive_oracle_sf001(docs01, texts01):
+    num_perm, thr = 64, 0.7
+    b, r = optimal_param(thr, num_perm)
+    pa, pb = minhash_permutations(num_perm)
+    buckets = {}
+    for did in sorted(texts01):
+        sig = _minhash_sig(texts01[did], pa, pb)
+        if sig is None:
+            continue
+        for band in range(b):
+            key = (band, tuple(sig[band * r: (band + 1) * r]))
+            buckets.setdefault(key, []).append(did)
+    uf = UnionFind()
+    for members in buckets.values():
+        m0 = min(members)
+        for m in members:
+            uf.union(m0, m)
+    expected = uf.kept(sorted(texts01))
+
+    op = OPERATORS.get("document_minhash_deduplicator")(
+        id_key="doc_id", num_permutations=num_perm, jaccard_threshold=thr)
+    assert spark_kept(op, docs01) == expected
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard: brute-force ALL-pairs exact Jaccard (stronger than the
+# op's rare-shingle candidate generation — run uncapped so they coincide)
+# ---------------------------------------------------------------------------
+
+def test_ngram_jaccard_exhaustive_oracle_sf001(docs01, texts01):
+    n, thr = 5, 0.8
+    shingle_sets = {}
+    for did, text in texts01.items():
+        ws = [w for w in re.split(r"[ \n\t]", (text or "").lower()) if w]
+        if len(ws) < n:
+            continue
+        shingle_sets[did] = {
+            " ".join(ws[i: i + n]) for i in range(len(ws) - n + 1)
+        }
+    ids = sorted(shingle_sets)
+    uf = UnionFind()
+    for i, a in enumerate(ids):
+        sa = shingle_sets[a]
+        for b_ in ids[i + 1:]:
+            sb = shingle_sets[b_]
+            inter = len(sa & sb)
+            if inter and inter / (len(sa) + len(sb) - inter) >= thr:
+                uf.union(a, b_)
+    expected = uf.kept(sorted(texts01))
+
+    op = OPERATORS.get("ngram_jaccard_deduplicator")(
+        id_key="doc_id", ngram=n, threshold=thr, max_shingle_freq=10 ** 9)
+    assert spark_kept(op, docs01) == expected
+
+
+# ---------------------------------------------------------------------------
+# SimHash: brute-force ALL-pairs Hamming (stronger than block candidates:
+# also validates the block decomposition loses nothing under the cap)
+# ---------------------------------------------------------------------------
+
+def _simhash64(text, window=6, lowercase=True, strip_punct=False):
+    text = text or ""
+    if lowercase:
+        text = text.lower()
+    if strip_punct:
+        text = "".join(
+            c for c in text if not unicodedata.category(c).startswith("P"))
+    toks = [t for t in re.split(r"[ \n\t]", text) if t]
+    shingles = [
+        " ".join(toks[j: j + window])
+        for j in range(max(len(toks) - window + 1, 0))
+    ] or ([" ".join(toks)] if toks else [text])
+    h = np.fromiter(
+        (int.from_bytes(hashlib.md5(sh.encode()).digest()[:8], "little")
+         for sh in shingles),
+        dtype=np.uint64, count=len(shingles))
+    bits = (h[:, None] >> np.arange(64, dtype=np.uint64)) & 1
+    maj = (2 * bits.sum(axis=0)) > len(shingles)
+    w = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    return int(w[maj].sum(dtype=np.uint64))
+
+
+def test_simhash_exhaustive_oracle_sf001(docs01, texts01):
+    ham = 4
+    sigs = {did: _simhash64(t) for did, t in texts01.items()}
+    ids = sorted(sigs)
+    uf = UnionFind()
+    for i, a in enumerate(ids):
+        for b_ in ids[i + 1:]:
+            if bin(sigs[a] ^ sigs[b_]).count("1") <= ham:
+                uf.union(a, b_)
+    expected = uf.kept(ids)
+
+    op = OPERATORS.get("document_simhash_deduplicator")(
+        id_key="doc_id", hamming_distance=ham, max_block_size=10 ** 9)
+    assert spark_kept(op, docs01) == expected
+
+
+def test_simhash_reference_fixture(spark):
+    """Reference unit-test fixture (test_document_simhash_deduplicator.py
+    test_english_deduplication: 9 docs → 6 kept). Our shingle hash is
+    md5[:8], not simhash-pybind's mixer (unavailable hermetically), so we
+    assert (a) exact equality with the sequential oracle of OUR math and
+    (b) the hash-robust reference behaviors: the exact duplicate long
+    'paper' doc is removed, near-identical Smithfield variants merge,
+    keep-first-by-order, and the four distinct short docs all survive."""
+    fix = json.load(open(FIXTURE))
+    ds = fix["ds_list"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ds)], "id long, text string")
+    op = OPERATORS.get("document_simhash_deduplicator")(
+        id_key="id", ignore_pattern=r"\p{P}")
+    got = spark_kept(op, df, id_col="id")
+
+    sigs = {i: _simhash64(t, strip_punct=True) for i, t in enumerate(ds)}
+    uf = UnionFind()
+    for i in range(len(ds)):
+        for j in range(i + 1, len(ds)):
+            if bin(sigs[i] ^ sigs[j]).count("1") <= 4:
+                uf.union(i, j)
+    assert got == uf.kept(sorted(sigs))
+    assert 8 not in got            # exact duplicate of doc 3 removed
+    assert {0, 1, 2, 3} <= set(got)  # distinct short docs survive
+    assert 5 not in got and 4 in got  # Smithfield near-pair keeps FIRST
+    assert len(got) < len(ds)
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine: sequential oracle modeling the SAME LSH candidates
+# (identical-vector collapse ∪ same-bucket & cosine ≥ threshold)
+# ---------------------------------------------------------------------------
+
+def test_embedding_cosine_oracle_sf001(spark):
+    emb = (spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+           .select("vec_id", "embedding").orderBy("vec_id"))
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in rows}
+    thr, n_planes, seed = 0.98, 10, 42
+    dim = len(next(iter(vecs.values())))
+    planes = np.random.RandomState(seed).normal(size=(n_planes, dim))
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    uf = UnionFind()
+    by_key, by_bucket = {}, {}
+    for vid in sorted(vecs):
+        v = vecs[vid]
+        key = v.tobytes()
+        if key in by_key:
+            uf.union(by_key[key], vid)
+        else:
+            by_key[key] = vid
+            bucket = int((((v @ planes.T) > 0) @ weights))
+            by_bucket.setdefault(bucket, []).append(vid)
+    for members in by_bucket.values():
+        for i, a in enumerate(members):
+            va = vecs[a]
+            for b_ in members[i + 1:]:
+                vb = vecs[b_]
+                cos = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+                if cos >= thr:
+                    uf.union(a, b_)
+    expected = uf.kept(sorted(vecs))
+
+    op = OPERATORS.get("embedding_cosine_deduplicator")(
+        id_key="vec_id", threshold=thr, n_planes=n_planes)
+    assert spark_kept(op, emb, id_col="vec_id") == expected
+
+
+# ---------------------------------------------------------------------------
+# Scale guards: a hot cluster of near-identical rows must stay O(n) via
+# the exact-collapse path (no quadratic candidate join)
+# ---------------------------------------------------------------------------
+
+def test_simhash_mass_duplicates_stay_linear(spark):
+    n = 5000
+    texts = [("the same short duplicated document body " * 3)] * n
+    texts += ["an entirely different unique text number %d ok" % i
+              for i in range(20)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string")
+    op = OPERATORS.get("document_simhash_deduplicator")(
+        id_key="id", max_block_size=100)
+    t0 = time.time()
+    got = spark_kept(op, df, id_col="id")
+    assert time.time() - t0 < 120  # quadratic would be ~12.5M pair rows
+    assert 0 in got and len(got) == 21  # collapse kept exactly one dup rep
+
+
+def test_embedding_mass_duplicates_stay_linear(spark):
+    n = 5000
+    base = [0.1, 0.2, 0.3, 0.4]
+    rows = [(i, base) for i in range(n)]
+    rows += [(n + i, [float(i + 1), 0.5, -0.5, 0.25]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    op = OPERATORS.get("embedding_cosine_deduplicator")(
+        id_key="vec_id", threshold=0.999, n_planes=8, max_bucket_size=50)
+    t0 = time.time()
+    got = spark_kept(op, df, id_col="vec_id")
+    assert time.time() - t0 < 120
+    assert got[0] == 0 and len(got) <= 11

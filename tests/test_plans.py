@@ -91,6 +91,48 @@ def test_embedding_cosine_dedup(spark):
     assert 7 not in kept and 2 in kept and len(kept) == 29
 
 
+def test_range_selector_exact_and_no_global_window(spark, docs):
+    """Exact percent_rank semantics via the distributed prefix-sum path,
+    and the plan must contain NO single-partition exchange (the round-1
+    global Window.orderBy funneled the dataset through one task)."""
+    op = OPERATORS.get("range_specified_field_selector")(
+        field_key="n_chars", lower_percentile=0.25, upper_percentile=0.75,
+        id_key="doc_id")
+    out = op.apply(docs)
+    pdf = (docs.select("doc_id", "n_chars").toPandas()
+           .sort_values(["n_chars", "doc_id"]).reset_index(drop=True))
+    n = len(pdf)
+    pdf["pr"] = pdf.index / (n - 1)
+    exp = sorted(pdf[(pdf.pr >= 0.25) & (pdf.pr <= 0.75)]["doc_id"])
+    got = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert got == exp
+    plan = plan_of(out)
+    assert "SinglePartition" not in plan  # every Window/agg stays partitioned
+
+
+def test_op_construction_runs_zero_jobs(spark, docs):
+    """Building + composing operators must trigger no Spark jobs
+    (round-1: embd-similarity's default centroid ran .first/.collect/
+    .count at plan-build time; embedding dedup ran .first for dim)."""
+    from data_juicer_spark.functions.similarity import hyperplane_signatures
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    f = OPERATORS.get("text_embd_similarity_filter")(min_score=0.5)
+    _ = f.apply(emb)  # centroid defaults to the lazy dataset mean
+    d = OPERATORS.get("embedding_cosine_deduplicator")(
+        id_key="vec_id", threshold=0.99, n_planes=8)
+    # dim inference is Arrow-batch-side, not .first(): building bucket
+    # signatures over the whole frame must stay lazy. (The dedup's full
+    # apply() DOES run jobs — the connected-components loop converges
+    # with eager checkpoints by design; what round 1 got wrong was the
+    # extra full scan for dim before the plan even existed.)
+    _ = hyperplane_signatures(emb, "embedding", d.dim, d.n_planes, d.seed)
+    after = len(tracker.getJobIdsForGroup(None))
+    assert after == before
+
+
 def test_embd_similarity_filter(spark):
     rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.9, 0.1])]
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])

@@ -496,6 +496,186 @@ def _q_filter_embd_similarity(spark, sf_dir):
     )
 
 
+# -- wave-2 oracle queries: mappers run on a synthesized discriminative
+# -- payload (docs are plain ASCII words, so emails/IPs/markup/unicode are
+# -- appended identically on both engines to make the transform observable)
+
+def _aug(df, suffix_expr):
+    return df.select("doc_id", F.concat(F.col("text"), suffix_expr).alias("text"))
+
+
+def _q_mapper_clean_email(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    df = _aug(_t(spark, sf_dir, "documents"),
+              F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                       F.lit("@mail.example.com done")))
+    op = OPERATORS.get("clean_email_mapper")(text_key="text")
+    return op.apply(df).select("doc_id", "text")
+
+
+def _q_mapper_clean_ip(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    df = _aug(_t(spark, sf_dir, "documents"),
+              F.lit(" at 192.168.1.42 or 2001:db8:85a3:0:0:8a2e:370:7334 end"))
+    op = OPERATORS.get("clean_ip_mapper")(text_key="text")
+    return op.apply(df).select("doc_id", "text")
+
+
+def _q_mapper_punctuation_norm(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    df = _aug(_t(spark, sf_dir, "documents"),
+              F.lit(" «quote» — dash… ，end。 ？！（x）"))
+    op = OPERATORS.get("punctuation_normalization_mapper")(text_key="text")
+    return op.apply(df).select("doc_id", "text")
+
+
+def _q_mapper_fix_unicode(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    df = _aug(_t(spark, sf_dir, "documents"),
+              F.lit(" café naïve"))
+    op = OPERATORS.get("fix_unicode_mapper")(text_key="text", normalization="NFC")
+    return op.apply(df).select("doc_id", "text")
+
+
+def _q_mapper_remove_bibliography(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    df = _aug(_t(spark, sf_dir, "documents"),
+              F.lit("\n\\begin{thebibliography}\nsome refs\n\\end{thebibliography}\ntail"))
+    op = OPERATORS.get("remove_bibliography_mapper")(text_key="text")
+    return op.apply(df).select("doc_id", "text")
+
+
+def _q_mapper_remove_comments(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    df = _aug(_t(spark, sf_dir, "documents"),
+              F.lit("\n% full line comment\nkeep this % tail note\nlast"))
+    op = OPERATORS.get("remove_comments_mapper")(text_key="text")
+    return op.apply(df).select("doc_id", "text")
+
+
+def _q_mapper_remove_header(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    df = _aug(_t(spark, sf_dir, "documents"),
+              F.lit(" preamble \\section{Main} body text"))
+    op = OPERATORS.get("remove_header_mapper")(text_key="text")
+    return op.apply(df).select("doc_id", "text")
+
+
+def _q_mapper_remove_table_text(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    df = _aug(_t(spark, sf_dir, "documents"),
+              F.lit("\nc1 c2\nd1 d2\ne1 e2\nafter table"))
+    op = OPERATORS.get("remove_table_text_mapper")(text_key="text")
+    return op.apply(df).select("doc_id", "text")
+
+
+def _q_mapper_remove_incorrect_substrings(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    df = _aug(_t(spark, sf_dir, "documents"),
+              F.lit(" see http://x.org and www.foo plus normal"))
+    op = OPERATORS.get("remove_words_with_incorrect_substrings_mapper")(text_key="text")
+    return op.apply(df).select("doc_id", "text")
+
+
+def _q_mapper_remove_non_chinese(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    df = _aug(_t(spark, sf_dir, "documents"), F.lit(" 中文字符ABC123，。xyz"))
+    op = OPERATORS.get("remove_non_chinese_character_mapper")(text_key="text")
+    return op.apply(df).select("doc_id", "text")
+
+
+def _q_mapper_clean_html(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    df = _aug(_t(spark, sf_dir, "documents"),
+              F.lit(" <p>Hello <b>world</b><li>item&amp;1</li><ol>two</ol>&nbsp;fin</p>"))
+    op = OPERATORS.get("clean_html_mapper")(text_key="text")
+    return op.apply(df).select("doc_id", "text")
+
+
+def _q_mapper_text_chunk(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    op = OPERATORS.get("text_chunk_mapper")(max_len=120, overlap_len=20, text_key="text")
+    df = op.apply(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return df.select("doc_id", F.col("chunk_id").cast("long").alias("chunk_id"), "text")
+
+
+def _q_mapper_python_lambda(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    op = OPERATORS.get("python_lambda_mapper")(fn=lambda s: s.str.upper(), text_key="text")
+    return op.apply(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+
+
+def _q_filter_special_characters(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    op = OPERATORS.get("special_characters_filter")(
+        min_ratio=0.0, max_ratio=0.2, text_key="text")
+    df = op.apply(_t(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id",
+        F.round(F.col("stats.special_char_ratio"), 6).alias("special_char_ratio"))
+
+
+def _q_filter_flagged_words(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    op = OPERATORS.get("flagged_words_filter")(
+        max_ratio=0.08, flagged_words=["spark", "join"], text_key="text")
+    df = op.apply(_t(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id",
+        F.round(F.col("stats.flagged_words_ratio"), 6).alias("flagged_words_ratio"))
+
+
+def _q_filter_suffix(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    op = OPERATORS.get("suffix_filter")(
+        suffixes=["src0", "src5", "src7"], suffix_key="source")
+    return op.apply(_t(spark, sf_dir, "documents")).select("doc_id", "source")
+
+
+def _q_filter_specified_field(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    op = OPERATORS.get("specified_field_filter")(
+        field_key="lang", target_value=["en", "fr"])
+    return op.apply(_t(spark, sf_dir, "documents")).select("doc_id", "lang")
+
+
+def _q_grouper_naive(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    op = OPERATORS.get("naive_grouper")(id_key="doc_id")
+    g = op.apply(_t(spark, sf_dir, "documents").select("doc_id", "lang"))
+    return g.select(
+        F.array_join(F.transform("doc_id", lambda x: x.cast("string")), ",").alias("doc_ids"),
+        F.array_join("lang", ",").alias("langs"),
+    )
+
+
+def _q_grouper_naive_reverse(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    g = OPERATORS.get("naive_grouper")(id_key="doc_id").apply(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang"))
+    op = OPERATORS.get("naive_reverse_grouper")()
+    return op.apply(g).select("doc_id", "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "filter_text_length": _q_filter_text_length,
@@ -539,6 +719,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_lake": _q_cdc_replay_lake,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "filter_embd_similarity": _q_filter_embd_similarity,
+        "mapper_clean_email": _q_mapper_clean_email,
+        "mapper_clean_ip": _q_mapper_clean_ip,
+        "mapper_punctuation_norm": _q_mapper_punctuation_norm,
+        "mapper_fix_unicode": _q_mapper_fix_unicode,
+        "mapper_remove_bibliography": _q_mapper_remove_bibliography,
+        "mapper_remove_comments": _q_mapper_remove_comments,
+        "mapper_remove_header": _q_mapper_remove_header,
+        "mapper_remove_table_text": _q_mapper_remove_table_text,
+        "mapper_remove_incorrect_substrings": _q_mapper_remove_incorrect_substrings,
+        "mapper_remove_non_chinese": _q_mapper_remove_non_chinese,
+        "mapper_clean_html": _q_mapper_clean_html,
+        "mapper_text_chunk": _q_mapper_text_chunk,
+        "mapper_python_lambda": _q_mapper_python_lambda,
+        "filter_special_characters": _q_filter_special_characters,
+        "filter_flagged_words": _q_filter_flagged_words,
+        "filter_suffix": _q_filter_suffix,
+        "filter_specified_field": _q_filter_specified_field,
+        "grouper_naive": _q_grouper_naive,
+        "grouper_naive_reverse": _q_grouper_naive_reverse,
     }
 
 
@@ -547,6 +746,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _WORDS = "list_filter(string_split_regex(text, '[ \\n\\t]'), w -> w <> '')"
+
+
+def _sql_quote(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _sql_str(s: str) -> str:
+    """SQL string expression for s; control chars become chr(n) concats
+    (standard SQL literals have no backslash escapes)."""
+    parts, buf = [], ""
+    for c in s:
+        if ord(c) < 32:
+            if buf:
+                parts.append(f"'{_sql_quote(buf)}'")
+                buf = ""
+            parts.append(f"chr({ord(c)})")
+        else:
+            buf += c
+    if buf:
+        parts.append(f"'{_sql_quote(buf)}'")
+    return " || ".join(parts) if parts else "''"
+
+
+def _special_char_class() -> str:
+    """RE2 char class of the engine's SPECIAL_CHARACTERS set, hex-escaped
+    so Java-regex and RE2 agree character-for-character."""
+    from data_juicer_spark.functions.text import SPECIAL_CHARACTERS
+
+    return "".join(f"\\x{{{ord(c):x}}}" for c in sorted(SPECIAL_CHARACTERS))
+
+
+def _punct_norm_sql(col: str) -> str:
+    """Mirror PunctuationNormalizationMapper: one translate() for the
+    1→1 pairs (same order), then replace() per multi-char pair."""
+    from data_juicer_spark.operators.mappers import PunctuationNormalizationMapper
+
+    punct = PunctuationNormalizationMapper.UNICODE_PUNCT
+    ones = [(k, v) for k, v in punct.items() if len(k) == 1 and len(v) == 1]
+    src = _sql_quote("".join(k for k, _ in ones))
+    dst = _sql_quote("".join(v for _, v in ones))
+    out = f"translate({col}, '{src}', '{dst}')"
+    for k, v in punct.items():
+        if len(k) != 1 or len(v) != 1:
+            out = f"replace({out}, '{_sql_quote(k)}', '{_sql_quote(v)}')"
+    return out
+
+
+def _table_text_sql(col: str, min_col: int = 2, max_col: int = 20) -> str:
+    out = col
+    for n in range(min_col, max_col + 1):
+        pat = r"(\n)((\S+?)([ |\t]+(\S+?)){%d}\n+){2,}" % (n - 1)
+        out = f"regexp_replace({out}, '{pat}', '\\1', 'g')"
+    return out
+
+
+def _clean_html_sql(col: str) -> str:
+    from data_juicer_spark.operators.mappers import CleanHtmlMapper
+
+    out = col
+    for src, dst in (("<li>", "\n*"), ("</li>", ""), ("<ol>", "\n*"),
+                     ("</ol>", "")):
+        out = f"replace({out}, {_sql_str(src)}, {_sql_str(dst)})"
+    out = f"regexp_replace({out}, '<[^>]+>', '', 'g')"
+    for src, dst in CleanHtmlMapper.ENTITIES:
+        out = f"replace({out}, {_sql_str(src)}, {_sql_str(dst)})"
+    return out
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -835,6 +1100,140 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_dot_product(embedding::DOUBLE[], c.cv) /
                   (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
                    sqrt(list_dot_product(c.cv, c.cv))) >= 0.0
+        """,
+        "mapper_clean_email": r"""
+            SELECT doc_id,
+                   regexp_replace(
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@mail.example.com done',
+                     '[A-Za-z0-9.\-+_]+@[a-z0-9.\-+_]+\.[a-z]+', '', 'g') AS text
+            FROM documents
+        """,
+        "mapper_clean_ip": r"""
+            SELECT doc_id,
+                   regexp_replace(
+                     text || ' at 192.168.1.42 or 2001:db8:85a3:0:0:8a2e:370:7334 end',
+                     '(?:(?:1[0-9][0-9]\.)|(?:2[0-4][0-9]\.)|(?:25[0-5]\.)|(?:[1-9][0-9]\.)|(?:[0-9]\.)){3}(?:(?:1[0-9][0-9])|(?:2[0-4][0-9])|(?:25[0-5])|(?:[1-9][0-9])|(?:[0-9]))|([\da-fA-F]{1,4}:){7}[\da-fA-F]{1,4}',
+                     '', 'g') AS text
+            FROM documents
+        """,
+        "mapper_punctuation_norm": f"""
+            SELECT doc_id,
+                   {_punct_norm_sql("text || ' «quote» — dash… ，end。 ？！（x）'")} AS text
+            FROM documents
+        """,
+        "mapper_fix_unicode": """
+            SELECT doc_id,
+                   nfc_normalize(text || ' cafe' || chr(769) || ' nai' || chr(776) || 've')
+                     AS text
+            FROM documents
+        """,
+        "mapper_remove_bibliography": r"""
+            SELECT doc_id,
+                   regexp_replace(
+                     text || chr(10) || '\begin{thebibliography}' || chr(10)
+                          || 'some refs' || chr(10) || '\end{thebibliography}'
+                          || chr(10) || 'tail',
+                     '(?s)(\\appendix|\\begin\{references\}|\\begin\{REFERENCES\}|\\begin\{thebibliography\}|\\bibliography\{.*\}).*$',
+                     '', 'g') AS text
+            FROM documents
+        """,
+        "mapper_remove_comments": r"""
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(
+                     text || chr(10) || '% full line comment' || chr(10)
+                          || 'keep this % tail note' || chr(10) || 'last',
+                     '(?m)[^\\]%.+$', '', 'g'),
+                     '(?m)^%.*' || chr(10) || '?', '', 'g') AS text
+            FROM documents
+        """,
+        "mapper_remove_header": r"""
+            SELECT doc_id,
+                   CASE WHEN m IS NOT NULL THEN substr(t, CAST(m AS INT)) ELSE t END AS text
+            FROM (
+              SELECT doc_id, t,
+                     least(nullif(strpos(t, '\section{'), 0),
+                           nullif(strpos(t, '\chapter{'), 0),
+                           nullif(strpos(t, '\part{'), 0)) AS m
+              FROM (SELECT doc_id,
+                           text || ' preamble \section{Main} body text' AS t
+                    FROM documents)
+            )
+        """,
+        "mapper_remove_table_text": f"""
+            SELECT doc_id,
+                   {_table_text_sql(
+                       "text || chr(10) || 'c1 c2' || chr(10) || 'd1 d2' || chr(10)"
+                       " || 'e1 e2' || chr(10) || 'after table'")} AS text
+            FROM documents
+        """,
+        "mapper_remove_incorrect_substrings": """
+            SELECT doc_id,
+                   array_to_string(list_filter(
+                     string_split(text || ' see http://x.org and www.foo plus normal', ' '),
+                     w -> NOT (contains(w, 'http') OR contains(w, 'www')
+                               OR contains(w, '.com') OR contains(w, 'href')
+                               OR contains(w, '//'))), ' ') AS text
+            FROM documents
+        """,
+        "mapper_remove_non_chinese": f"""
+            SELECT doc_id,
+                   regexp_replace(text || ' 中文字符ABC123，。xyz',
+                     '[^一-鿥A-Za-z0-9., ，、。！？；：“”‘’!?;:''"()（）]', '', 'g') AS text
+            FROM documents
+        """,
+        "mapper_clean_html": f"""
+            SELECT doc_id,
+                   {_clean_html_sql(
+                       "text || ' <p>Hello <b>world</b><li>item&amp;1</li>"
+                       "<ol>two</ol>&nbsp;fin</p>'")} AS text
+            FROM documents
+        """,
+        "mapper_text_chunk": """
+            SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+                   substr(text, CAST(i * 100 + 1 AS INT), 120) AS text
+            FROM documents,
+                 unnest(range(0, greatest(
+                   CAST(ceil((length(text) - 20) / 100.0) AS BIGINT), 1))) AS t(i)
+        """,
+        "mapper_python_lambda": """
+            SELECT doc_id, upper(text) AS text FROM documents
+        """,
+        "filter_special_characters": f"""
+            SELECT doc_id, round(ratio, 6) AS special_char_ratio FROM (
+              SELECT doc_id,
+                     CASE WHEN length(text) = 0 THEN 0.0
+                          ELSE CAST(length(regexp_replace(text,
+                                 '[^{_special_char_class()}]', '', 'g')) AS DOUBLE)
+                               / length(text) END AS ratio
+              FROM documents
+            ) WHERE ratio >= 0.0 AND ratio <= 0.2
+        """,
+        "filter_flagged_words": f"""
+            SELECT doc_id, round(ratio, 6) AS flagged_words_ratio FROM (
+              SELECT doc_id,
+                     CASE WHEN len({_WORDS}) = 0 THEN 0.0
+                          ELSE CAST(len(list_filter({_WORDS},
+                                 w -> list_contains(['spark', 'join'], lower(w)))) AS DOUBLE)
+                               / len({_WORDS}) END AS ratio
+              FROM documents
+            ) WHERE ratio >= 0.0 AND ratio <= 0.08
+        """,
+        "filter_suffix": """
+            SELECT doc_id, source FROM documents
+            WHERE source IN ('src0', 'src5', 'src7')
+        """,
+        "filter_specified_field": """
+            SELECT doc_id, lang FROM documents WHERE lang IN ('en', 'fr')
+        """,
+        "grouper_naive": """
+            SELECT array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ',')
+                     AS doc_ids,
+                   array_to_string(list(lang ORDER BY doc_id), ',') AS langs
+            FROM documents
+        """,
+        "grouper_naive_reverse": """
+            SELECT doc_id, lang FROM documents
         """,
         # NO oracle (rows-only checks; not SQL-expressible):
         # dedup_minhash / dedup_simhash / dedup_ngram_jaccard (LSH /

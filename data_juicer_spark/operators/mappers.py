@@ -167,10 +167,14 @@ class RemoveTableTextMapper(Mapper):
         self.min_col, self.max_col = min_col, max_col
 
     def expr(self, col: Column) -> Column:
+        # capture-and-keep the preceding \n instead of a lookbehind: same
+        # semantics (a table body must follow a newline) but expressible
+        # in lookbehind-free regex engines too, so the DuckDB oracle can
+        # mirror the exact pattern
         out = col
         for n in range(self.min_col, self.max_col + 1):
-            pat = r"(?<=\n)((\S+?)([ |\t]+(\S+?)){%d}\n+){2,}" % (n - 1)
-            out = F.regexp_replace(out, pat, "")
+            pat = r"(\n)((\S+?)([ |\t]+(\S+?)){%d}\n+){2,}" % (n - 1)
+            out = F.regexp_replace(out, pat, "$1")
         return out
 
 
@@ -259,6 +263,30 @@ class CleanCopyrightMapper(Mapper):
             return out
 
         return df.withColumn(self.text_key, clean(F.col(self.text_key)))
+
+
+@OPERATORS.register("clean_html_mapper")
+class CleanHtmlMapper(Mapper):
+    """HTML → plain text (clean_html_mapper.py:26-44): <li>/<ol> become
+    newline bullets, </li>/</ol> drop, then tags strip and the common
+    entities decode. The reference parses with selectolax (unavailable
+    hermetically); this regex chain covers its common-case behavior —
+    documented deviation: no DOM repair of malformed markup."""
+
+    ENTITIES = [
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&amp;", "&"),
+    ]
+
+    def expr(self, col: Column) -> Column:
+        out = col
+        for src, dst in (("<li>", "\n*"), ("</li>", ""),
+                         ("<ol>", "\n*"), ("</ol>", "")):
+            out = F.replace(out, F.lit(src), F.lit(dst))
+        out = F.regexp_replace(out, r"<[^>]+>", "")
+        for src, dst in self.ENTITIES:
+            out = F.replace(out, F.lit(src), F.lit(dst))
+        return out
 
 
 @OPERATORS.register("fix_unicode_mapper")
@@ -388,27 +416,33 @@ class TextChunkMapper(Mapper):
 
 @OPERATORS.register("expand_macro_mapper")
 class ExpandMacroMapper(Mapper):
-    """inline-expand LaTeX \\newcommand/\\def macros
-    (expand_macro_mapper.py:31-91). Two-pass regex in a pandas UDF."""
+    """inline-expand non-arg LaTeX \\newcommand/\\def macros — reference-
+    parity patterns (expand_macro_mapper.py:31-91): definitions anchored
+    at line end, names [a-zA-Z0-9]+ only, each expansion keeps the
+    non-alnum character following the macro, and the definition line
+    itself is rewritten too (reference subs everywhere)."""
+
+    _NC_RE = re.compile(r"\\\bnewcommand\b\*?\{(\\[a-zA-Z0-9]+?)\}\{(.*?)\}$",
+                        re.MULTILINE)
+    _DEF_RE = re.compile(r"\\def\s*(\\[a-zA-Z0-9]+?)\s*\{(.*?)\}$", re.MULTILINE)
 
     def apply(self, df: DataFrame) -> DataFrame:
+        nc_re, def_re = self._NC_RE, self._DEF_RE
+
         @pandas_udf(StringType())
         def expand(s: pd.Series) -> pd.Series:
             def one(txt):
                 if txt is None:
                     return txt
                 macros = {}
-                for m in re.finditer(
-                    r"\\(?:re)?newcommand\*?\{\\(\w+)\}\{(.+?)\}|\\def\s*\\(\w+)\s*\{(.+?)\}",
-                    txt,
-                ):
-                    name = m.group(1) or m.group(3)
-                    body = m.group(2) or m.group(4)
-                    macros[name] = body
-                for name, body in macros.items():
-                    txt = re.sub(
-                        r"\\" + re.escape(name) + r"(?![a-zA-Z])", body.replace("\\", "\\\\"), txt
-                    )
+                for reg in (nc_re, def_re):
+                    for m in reg.finditer(txt):
+                        name = m.group(1).encode("unicode-escape").decode("utf-8")
+                        val = m.group(2).encode("unicode-escape").decode("utf-8")
+                        macros[name] = val
+                for name, val in macros.items():
+                    txt = re.sub(r"(" + name + r")([^a-zA-Z0-9])",
+                                 val + r"\2", txt)
                 return txt
 
             return s.map(one)

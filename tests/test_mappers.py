@@ -123,3 +123,35 @@ def test_python_lambda_mapper(spark):
     out = run_mapper(spark, "python_lambda_mapper", ["abc"],
                      fn=lambda s: s.str.upper())
     assert out == ["ABC"]
+
+
+def test_clean_html(spark):
+    assert run_mapper(spark, "clean_html_mapper",
+                      ["<p>Hello <b>world</b></p>",
+                       "<li>one</li><ol>two</ol>",
+                       "a &amp; b &lt;c&gt; &nbsp;d"]) == \
+        ["Hello world", "\n*one\n*two", "a & b <c>  d"]
+
+
+def test_expand_macro(spark):
+    # reference semantics (expand_macro_mapper.py:31-91): definition must
+    # end its line; expansion rewrites every occurrence INCLUDING the
+    # definition braces, keeping the following non-alnum char
+    tex = "\\newcommand{\\x}{spark engine}\nuses \\x and \\x again."
+    out = run_mapper(spark, "expand_macro_mapper", [tex])
+    assert out == [
+        "\\newcommand{spark engine}{spark engine}\n"
+        "uses spark engine and spark engine again."
+    ]
+
+
+def test_remove_table_text(spark):
+    doc = "before\nc1 c2\nd1 d2\ne1 e2\nafter"
+    assert run_mapper(spark, "remove_table_text_mapper", [doc]) == \
+        ["before\nafter"]
+
+
+def test_remove_header(spark):
+    doc = "preamble stuff \\section{Intro} body"
+    assert run_mapper(spark, "remove_header_mapper", [doc]) == \
+        ["\\section{Intro} body"]

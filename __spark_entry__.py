@@ -676,6 +676,69 @@ def _q_grouper_naive_reverse(spark, sf_dir):
     return op.apply(g).select("doc_id", "lang")
 
 
+def _q_filter_char_repetition(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    op = OPERATORS.get("character_repetition_filter")(
+        rep_len=10, min_ratio=0.0, max_ratio=0.4, text_key="text")
+    df = op.apply(_t(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id", F.round(F.col("stats.char_rep_ratio"), 6).alias("char_rep_ratio"))
+
+
+def _q_filter_word_repetition(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    op = OPERATORS.get("word_repetition_filter")(
+        rep_len=5, min_ratio=0.0, max_ratio=0.5, text_key="text")
+    df = op.apply(_t(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id", F.round(F.col("stats.word_rep_ratio"), 6).alias("word_rep_ratio"))
+
+
+def _q_filter_perplexity(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    op = OPERATORS.get("perplexity_filter")(max_ppl=80.0, text_key="text")
+    df = op.apply(_t(spark, sf_dir, "documents"))
+    return df.select("doc_id", F.col("stats.perplexity").alias("perplexity"))
+
+
+def _q_filter_language_id(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    op = OPERATORS.get("language_id_score_filter")(
+        lang=["en", "es", "fr", "de"], min_score=0.15, text_key="text")
+    df = op.apply(_t(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id", F.col("stats.lang").alias("lid"),
+        F.round(F.col("stats.lang_score"), 6).alias("lang_score"))
+
+
+def _q_mapper_clean_copyright(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("// copyright Acme Corp\n-- copyright second line\nreal: "),
+            F.col("text"),
+            F.lit(" /* block with copyright inside */ tail"),
+        ).alias("text"),
+    )
+    op = OPERATORS.get("clean_copyright_mapper")(text_key="text")
+    return op.apply(df).select("doc_id", "text")
+
+
+def _q_mapper_remove_repeat_sentences(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    df = _aug(_t(spark, sf_dir, "documents"),
+              F.lit(" ends here. Repeat me now. Repeat me now. Unique tail."))
+    op = OPERATORS.get("remove_repeat_sentences_mapper")(text_key="text")
+    return op.apply(df).select("doc_id", "text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "filter_text_length": _q_filter_text_length,
@@ -738,6 +801,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_specified_field": _q_filter_specified_field,
         "grouper_naive": _q_grouper_naive,
         "grouper_naive_reverse": _q_grouper_naive_reverse,
+        "filter_char_repetition": _q_filter_char_repetition,
+        "filter_word_repetition": _q_filter_word_repetition,
+        "filter_perplexity": _q_filter_perplexity,
+        "filter_language_id": _q_filter_language_id,
+        "mapper_clean_copyright": _q_mapper_clean_copyright,
+        "mapper_remove_repeat_sentences": _q_mapper_remove_repeat_sentences,
     }
 
 
@@ -775,6 +844,32 @@ def _special_char_class() -> str:
     from data_juicer_spark.functions.text import SPECIAL_CHARACTERS
 
     return "".join(f"\\x{{{ord(c):x}}}" for c in sorted(SPECIAL_CHARACTERS))
+
+
+def _word_edge_class() -> str:
+    """RE2 class of SPECIAL_CHARACTERS minus whitespace — the word-edge
+    strip set WordRepetitionFilter uses."""
+    from data_juicer_spark.functions.text import SPECIAL_CHARACTERS
+
+    return "".join(
+        f"\\x{{{ord(c):x}}}" for c in sorted(SPECIAL_CHARACTERS)
+        if c not in " \t\n\r\x0b\x0c"
+    )
+
+
+def _lang_markers_sql() -> dict:
+    from data_juicer_spark.operators.filters import LanguageIdScoreFilter
+
+    return {
+        lg: "[" + ", ".join(f"'{w}'" for w in mk) + "]"
+        for lg, mk in LanguageIdScoreFilter.LANG_MARKERS.items()
+    }
+
+
+def _common_bigrams_sql() -> str:
+    from data_juicer_spark.operators.filters import PerplexityFilter
+
+    return "[" + ", ".join(f"'{b}'" for b in sorted(PerplexityFilter._COMMON)) + "]"
 
 
 def _punct_norm_sql(col: str) -> str:
@@ -1234,6 +1329,205 @@ def oracle_sql() -> dict[str, str]:
         """,
         "grouper_naive_reverse": """
             SELECT doc_id, lang FROM documents
+        """,
+        "filter_char_repetition": """
+            WITH freq AS (
+              SELECT doc_id, g, count(*) AS c FROM (
+                SELECT doc_id, substr(text, CAST(i AS INT), 10) AS g
+                FROM documents, unnest(range(1, length(text) - 8)) AS t(i)
+                WHERE length(text) >= 10
+              ) GROUP BY doc_id, g
+            ), ranked AS (
+              SELECT doc_id, c,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY c DESC) AS rn,
+                     count(*) OVER (PARTITION BY doc_id) AS nd,
+                     sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id) AS singles,
+                     sum(c) OVER (PARTITION BY doc_id) AS tot
+              FROM freq
+            ), per_doc AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN rn <= least(
+                            CAST(floor(sqrt(nd)) AS BIGINT), nd - singles)
+                          THEN c ELSE 0 END) AS DOUBLE) / max(tot) AS ratio
+              FROM ranked GROUP BY doc_id
+            )
+            SELECT d.doc_id, round(coalesce(p.ratio, 0.0), 6) AS char_rep_ratio
+            FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+            WHERE coalesce(p.ratio, 0.0) BETWEEN 0.0 AND 0.4
+        """,
+        "filter_word_repetition": f"""
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(list_transform({_WORDS.replace("text", "lower(text)")},
+                       w -> regexp_replace(regexp_replace(w,
+                              '^[{_word_edge_class()}]+', ''),
+                              '[{_word_edge_class()}]+$', '')),
+                       w -> w <> '') AS ws
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, g, count(*) AS c FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ws) - 3),
+                         i -> array_to_string(list_slice(ws, CAST(i AS INT),
+                                                         CAST(i + 4 AS INT)), ' '))) AS g
+                FROM words WHERE len(ws) >= 5
+              ) GROUP BY doc_id, g
+            ), per_doc AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+                       / sum(c) AS ratio
+              FROM grams GROUP BY doc_id
+            )
+            SELECT d.doc_id, round(coalesce(p.ratio, 0.0), 6) AS word_rep_ratio
+            FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+            WHERE coalesce(p.ratio, 0.0) BETWEEN 0.0 AND 0.5
+        """,
+        "filter_perplexity": f"""
+            SELECT doc_id, ppl AS perplexity FROM (
+              SELECT doc_id,
+                     round(10.0 / greatest(
+                       CAST(len(list_filter(
+                         list_transform(range(1, length(text)),
+                           i -> substr(lower(text), CAST(i AS INT), 2)),
+                         g -> list_contains({_common_bigrams_sql()}, g))) AS DOUBLE)
+                       / (length(text) - 1), 0.0001), 1) AS ppl
+              FROM documents WHERE length(text) >= 2
+            ) WHERE ppl BETWEEN 0.0 AND 80.0
+        """,
+        "filter_language_id": f"""
+            WITH scored AS (
+              SELECT doc_id,
+                     least(CASE WHEN nw = 0 THEN 0.0
+                           ELSE CAST(len(list_filter(lw, w -> list_contains(
+                                {_lang_markers_sql()['en']}, w))) AS DOUBLE) / nw * 5.0 END, 1.0) AS s_en,
+                     least(CASE WHEN nw = 0 THEN 0.0
+                           ELSE CAST(len(list_filter(lw, w -> list_contains(
+                                {_lang_markers_sql()['es']}, w))) AS DOUBLE) / nw * 5.0 END, 1.0) AS s_es,
+                     least(CASE WHEN nw = 0 THEN 0.0
+                           ELSE CAST(len(list_filter(lw, w -> list_contains(
+                                {_lang_markers_sql()['fr']}, w))) AS DOUBLE) / nw * 5.0 END, 1.0) AS s_fr,
+                     least(CASE WHEN nw = 0 THEN 0.0
+                           ELSE CAST(len(list_filter(lw, w -> list_contains(
+                                {_lang_markers_sql()['de']}, w))) AS DOUBLE) / nw * 5.0 END, 1.0) AS s_de
+              FROM (
+                SELECT doc_id,
+                       list_transform({_WORDS}, w -> lower(w)) AS lw,
+                       len({_WORDS}) AS nw
+                FROM documents
+              )
+            ), best AS (
+              SELECT doc_id, greatest(s_en, s_es, s_fr, s_de) AS sc,
+                     CASE WHEN greatest(s_en, s_es, s_fr, s_de) <= 0.0 THEN ''
+                          WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+                          WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+                          WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+                          ELSE 'de' END AS lid
+              FROM scored
+            )
+            SELECT doc_id, lid, round(sc, 6) AS lang_score
+            FROM best
+            WHERE sc >= 0.15 AND lid IN ('en', 'es', 'fr', 'de')
+        """,
+        "mapper_clean_copyright": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     '// copyright Acme Corp' || chr(10)
+                     || '-- copyright second line' || chr(10)
+                     || 'real: ' || text
+                     || ' /* block with copyright inside */ tail' AS t0
+              FROM documents
+            ), deblocked AS (
+              SELECT doc_id,
+                     CASE WHEN b <> '' AND contains(lower(b), 'copyright')
+                          THEN regexp_replace(t0, '/\*[^*]*\*+(?:[^/*][^*]*\*+)*/', '')
+                          ELSE t0 END AS t1
+              FROM (SELECT doc_id, t0,
+                           regexp_extract(t0, '/\*[^*]*\*+(?:[^/*][^*]*\*+)*/') AS b
+                    FROM aug)
+            ), flagged AS (
+              SELECT doc_id, t1, ls,
+                     CASE WHEN NOT coalesce(f1, false) THEN 0
+                          WHEN NOT coalesce(f2, false) THEN 1
+                          WHEN NOT coalesce(f3, false) THEN 2
+                          WHEN NOT coalesce(f4, false) THEN 3
+                          WHEN NOT coalesce(f5, false) THEN 4
+                          ELSE 5 END AS skip
+              FROM (
+                SELECT doc_id, t1, ls,
+                       (starts_with(lt1, '//') OR starts_with(lt1, '#')
+                        OR starts_with(lt1, '--'))
+                         AND contains(lower(ls[1]), 'copyright') AS f1,
+                       (starts_with(lt2, '//') OR starts_with(lt2, '#')
+                        OR starts_with(lt2, '--'))
+                         AND contains(lower(ls[2]), 'copyright') AS f2,
+                       (starts_with(lt3, '//') OR starts_with(lt3, '#')
+                        OR starts_with(lt3, '--'))
+                         AND contains(lower(ls[3]), 'copyright') AS f3,
+                       (starts_with(lt4, '//') OR starts_with(lt4, '#')
+                        OR starts_with(lt4, '--'))
+                         AND contains(lower(ls[4]), 'copyright') AS f4,
+                       (starts_with(lt5, '//') OR starts_with(lt5, '#')
+                        OR starts_with(lt5, '--'))
+                         AND contains(lower(ls[5]), 'copyright') AS f5
+                FROM (
+                  SELECT doc_id, t1, ls,
+                         trim(ls[1], ' ' || chr(9)) AS lt1,
+                         trim(ls[2], ' ' || chr(9)) AS lt2,
+                         trim(ls[3], ' ' || chr(9)) AS lt3,
+                         trim(ls[4], ' ' || chr(9)) AS lt4,
+                         trim(ls[5], ' ' || chr(9)) AS lt5
+                  FROM (SELECT doc_id, t1, string_split(t1, chr(10)) AS ls
+                        FROM deblocked)
+                )
+              )
+            )
+            SELECT doc_id,
+                   CASE WHEN skip = 0 THEN t1
+                        ELSE array_to_string(
+                          list_slice(ls, skip + 1, len(ls)), chr(10)) END AS text
+            FROM flagged
+        """,
+        "mapper_remove_repeat_sentences": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' ends here. Repeat me now. Repeat me now. Unique tail.' AS t
+              FROM documents
+            ), lines AS (
+              SELECT doc_id, u.li, u.line FROM (
+                SELECT doc_id,
+                       unnest(list_transform(string_split(t, chr(10)),
+                         (l, i) -> {'li': i, 'line': l})) AS u
+                FROM aug)
+            ), sents AS (
+              SELECT doc_id, li, s.si, s.sent FROM (
+                SELECT doc_id, li,
+                       unnest(list_transform(
+                         string_split(regexp_replace(line,
+                           '([.!?。！？])(\s+)', '\1' || chr(1), 'g'), chr(1)),
+                         (x, i) -> {'si': i, 'sent': x})) AS s
+                FROM lines)
+            ), keyed AS (
+              SELECT doc_id, li, si, sent,
+                     regexp_replace(sent, '[^a-zA-Z0-9_]', '', 'g') AS key,
+                     (length(sent) < 2
+                      OR regexp_replace(sent, '[^a-zA-Z0-9_]', '', 'g') = '') AS pass
+              FROM sents
+            ), ranked AS (
+              SELECT doc_id, li, si, sent, pass,
+                     row_number() OVER (PARTITION BY doc_id, key, pass
+                                        ORDER BY li, si) AS rn
+              FROM keyed
+            ), lines_out AS (
+              SELECT doc_id, li, string_agg(sent, ' ' ORDER BY si) AS line_out
+              FROM ranked WHERE pass OR rn = 1
+              GROUP BY doc_id, li
+            )
+            SELECT l.doc_id,
+                   string_agg(coalesce(lo.line_out, ''), chr(10) ORDER BY l.li) AS text
+            FROM lines l LEFT JOIN lines_out lo
+              ON l.doc_id = lo.doc_id AND l.li = lo.li
+            GROUP BY l.doc_id
         """,
         # NO oracle (rows-only checks; not SQL-expressible):
         # dedup_minhash / dedup_simhash / dedup_ngram_jaccard (LSH /

@@ -380,11 +380,14 @@ class PerplexityFilter(_RangeFilter):
             sums = np.add.reduceat(hit, bounds)
             n_bigrams = np.maximum(lens - 1, 1)
             rate = np.maximum(sums / n_bigrams, 1e-4)
-            out = np.round(10.0 / rate, 1)
+            out = 10.0 / rate
             out[lens < 2] = 10000.0
             return pd.Series(out)
 
-        return ppl(F.col(self.text_key))
+        # round(ppl, 1) like the reference (perplexity_filter.py:72) —
+        # rounded JVM-side (HALF_UP) so SQL oracles agree on ties, not
+        # numpy's HALF_EVEN
+        return F.round(ppl(F.col(self.text_key)), 1)
 
 
 @OPERATORS.register("suffix_filter")

@@ -739,6 +739,26 @@ def _q_mapper_remove_repeat_sentences(spark, sf_dir):
     return op.apply(df).select("doc_id", "text")
 
 
+def _q_filter_stopwords_multilang(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    op = OPERATORS.get("stopwords_filter")(
+        min_ratio=0.02, lang=["en", "es"], text_key="text")
+    df = op.apply(_t(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id",
+        F.round(F.col("stats.stopwords_ratio"), 6).alias("stopwords_ratio"))
+
+
+def _q_filter_words_num_bpe(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    op = OPERATORS.get("words_num_filter")(
+        min_num=30, max_num=120, tokenization="regex_bpe", text_key="text")
+    df = op.apply(_t(spark, sf_dir, "documents"))
+    return df.select("doc_id", F.col("stats.num_words").alias("num_words"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "filter_text_length": _q_filter_text_length,
@@ -807,6 +827,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_language_id": _q_filter_language_id,
         "mapper_clean_copyright": _q_mapper_clean_copyright,
         "mapper_remove_repeat_sentences": _q_mapper_remove_repeat_sentences,
+        "filter_stopwords_multilang": _q_filter_stopwords_multilang,
+        "filter_words_num_bpe": _q_filter_words_num_bpe,
     }
 
 
@@ -1529,6 +1551,26 @@ def oracle_sql() -> dict[str, str]:
               ON l.doc_id = lo.doc_id AND l.li = lo.li
             GROUP BY l.doc_id
         """,
+        "filter_stopwords_multilang": f"""
+            SELECT doc_id, round(ratio, 6) AS stopwords_ratio FROM (
+              SELECT doc_id,
+                     CASE WHEN len({_WORDS}) = 0 THEN 0.0
+                          ELSE CAST(len(list_filter({_WORDS},
+                                 w -> list_contains({_stopwords_sql(['en', 'es'])},
+                                                    lower(w)))) AS DOUBLE)
+                               / len({_WORDS}) END AS ratio
+              FROM documents
+            ) WHERE ratio >= 0.02 AND ratio <= 1.0
+        """,
+        "filter_words_num_bpe": r"""
+            SELECT doc_id, num_words FROM (
+              SELECT doc_id,
+                     len(regexp_extract_all(text,
+                       '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+                       AS num_words
+              FROM documents
+            ) WHERE num_words BETWEEN 30 AND 120
+        """,
         # NO oracle (rows-only checks; not SQL-expressible):
         # dedup_minhash / dedup_simhash / dedup_ngram_jaccard (LSH /
         # hamming-block / connected-components clustering),
@@ -1538,11 +1580,14 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
-_STOPWORDS = (
-    "['the','a','an','and','or','but','if','then','of','in','on','at','to',"
-    "'for','with','by','from','as','is','are','was','were','be','been','it',"
-    "'this','that','these','those','he','she','they','we','you','i','not',"
-    "'no','do','does','did','have','has','had','will','would','can','could',"
-    "'should','my','your','his','her','its','their','our','so','than','too',"
-    "'very','just','about']"
-)
+def _stopwords_sql(langs) -> str:
+    """SQL list literal of the union of per-lang asset stopword lists —
+    generated from the SAME asset module the engine uses."""
+    from data_juicer_spark.assets import STOPWORDS, words_for
+
+    return "[" + ", ".join(
+        "'" + w.replace("'", "''") + "'" for w in words_for(STOPWORDS, langs)
+    ) + "]"
+
+
+_STOPWORDS = _stopwords_sql(["en"])

@@ -217,6 +217,17 @@ class DocumentMinhashDeduplicator(Deduplicator):
                         text[i : i + window].encode()
                         for i in range(len(text) - window + 1)
                     }
+                elif tokenization == "regex_bpe":
+                    # hermetic stand-in for the reference's sentencepiece
+                    # mode (document_minhash_deduplicator.py:219-266):
+                    # GPT2-style pretokenizer pieces as shingle tokens
+                    toks = re.findall(
+                        r"'(?:[sdmt]|ll|ve|re)| ?[^\W\d_]+| ?\d+| ?[^\w\s]+|\s+",
+                        text)
+                    tokens = {
+                        " ".join(toks[i : i + window]).encode()
+                        for i in range(len(toks) - window + 1)
+                    }
                 elif tokenization == "punctuation":
                     toks = punct_re.split(text)
                     tokens = {

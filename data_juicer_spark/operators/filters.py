@@ -61,14 +61,23 @@ class TextLengthFilter(_RangeFilter):
 
 @OPERATORS.register("words_num_filter")
 class WordsNumFilter(_RangeFilter):
-    """num_words via whitespace split (words_num_filter.py:27-86)."""
+    """num_words (words_num_filter.py:27-86). tokenization='space'
+    mirrors the reference's default whitespace split; 'regex_bpe' is the
+    hermetic stand-in for its sentencepiece mode (GPT2-style pretokenizer
+    regex — documented deviation: no model file, same filter contract)."""
 
     stat_key = "num_words"
 
-    def __init__(self, min_num: int = 10, max_num: int = sys.maxsize, **kw):
+    def __init__(self, min_num: int = 10, max_num: int = sys.maxsize,
+                 tokenization: str = "space", **kw):
         super().__init__(min_val=min_num, max_val=max_num, **kw)
+        if tokenization not in ("space", "regex_bpe"):
+            raise ValueError(f"unsupported tokenization {tokenization!r}")
+        self.tokenization = tokenization
 
     def stat_expr(self, df):
+        if self.tokenization == "regex_bpe":
+            return T.token_count_regex(F.col(self.text_key)).cast("long")
         return T.num_words(F.col(self.text_key)).cast("long")
 
 
@@ -232,25 +241,20 @@ class WordRepetitionFilter(_RangeFilter):
 
 @OPERATORS.register("stopwords_filter")
 class StopwordsFilter(_RangeFilter):
-    """stopwords_ratio with a broadcastable word list
-    (stopwords_filter.py:34-132; hermetic built-in EN list by default)."""
+    """stopwords_ratio against per-language asset lists
+    (stopwords_filter.py:34-132: union of per-lang downloadable lists;
+    here hermetic in-repo lists, assets/wordlists.py). ``lang`` may be a
+    code, a list of codes, or None for all; an explicit ``stopwords``
+    list overrides the assets."""
 
     stat_key = "stopwords_ratio"
 
-    DEFAULT_EN = [
-        "the", "a", "an", "and", "or", "but", "if", "then", "of", "in",
-        "on", "at", "to", "for", "with", "by", "from", "as", "is", "are",
-        "was", "were", "be", "been", "it", "this", "that", "these",
-        "those", "he", "she", "they", "we", "you", "i", "not", "no",
-        "do", "does", "did", "have", "has", "had", "will", "would",
-        "can", "could", "should", "my", "your", "his", "her", "its",
-        "their", "our", "so", "than", "too", "very", "just", "about",
-    ]
-
     def __init__(self, min_ratio: float = 0.3, max_ratio: float = 1.0,
-                 stopwords: list | None = None, **kw):
+                 lang="en", stopwords: list | None = None, **kw):
         super().__init__(min_val=min_ratio, max_val=max_ratio, **kw)
-        self.stopwords = stopwords or self.DEFAULT_EN
+        from data_juicer_spark.assets import STOPWORDS, words_for
+
+        self.stopwords = stopwords or words_for(STOPWORDS, lang)
 
     def stat_expr(self, df):
         return T.stopword_like_ratio(F.col(self.text_key), self.stopwords)
@@ -259,13 +263,16 @@ class StopwordsFilter(_RangeFilter):
 @OPERATORS.register("flagged_words_filter")
 class FlaggedWordsFilter(_RangeFilter):
     """flagged_words_ratio (flagged_words_filter.py:39-144); keep when
-    ratio <= max."""
+    ratio <= max. Same per-language asset contract as StopwordsFilter."""
 
     stat_key = "flagged_words_ratio"
 
-    def __init__(self, max_ratio: float = 0.045, flagged_words: list | None = None, **kw):
+    def __init__(self, max_ratio: float = 0.045, lang="en",
+                 flagged_words: list | None = None, **kw):
         super().__init__(min_val=0.0, max_val=max_ratio, **kw)
-        self.flagged = flagged_words or ["badword", "flagged", "nsfw"]
+        from data_juicer_spark.assets import FLAGGED_WORDS, words_for
+
+        self.flagged = flagged_words or words_for(FLAGGED_WORDS, lang)
 
     def stat_expr(self, df):
         return T.stopword_like_ratio(F.col(self.text_key), self.flagged)
@@ -475,7 +482,9 @@ class TextQualityScoreFilter(_RangeFilter):
         c = F.col(self.text_key)
         len_score = F.least(T.text_len(c) / F.lit(1000.0), F.lit(1.0))
         alnum = T.alnum_ratio(c)
-        stop = T.stopword_like_ratio(c, StopwordsFilter.DEFAULT_EN)
+        from data_juicer_spark.assets import STOPWORDS
+
+        stop = T.stopword_like_ratio(c, STOPWORDS["en"])
         stop_score = F.least(stop * 4.0, F.lit(1.0))
         return F.round(
             len_score * 0.25 + alnum * 0.45 + stop_score * 0.30, 6

@@ -114,3 +114,19 @@ def test_grouper_roundtrip(spark):
     back = OPERATORS.get("naive_reverse_grouper")().apply(grouped)
     assert sorted((r["id"], r["k"], r["text"]) for r in back.collect()) == \
         [(0, "a", "t0"), (1, "a", "t1"), (2, "b", "t2")]
+
+
+def test_tsv_extension_maps_to_tab_separator(spark, tmpd):
+    """ADVICE fix: a .tsv file must load via the tab-separator branch by
+    extension inference alone."""
+    import os
+
+    from data_juicer_spark.sources.builder import DatasetBuilder
+
+    p = os.path.join(tmpd, "data.tsv")
+    with open(p, "w") as f:
+        f.write("doc_id\ttext\n1\thello world\n2\tsecond row\n")
+    df = DatasetBuilder(spark).load([p])
+    assert df.columns == ["doc_id", "text"]
+    assert df.count() == 2
+    assert {r["text"] for r in df.collect()} == {"hello world", "second row"}

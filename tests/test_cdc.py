@@ -254,3 +254,50 @@ def test_filtered_rows_are_deleted_from_lake(spark, tmp_root):
     )
     rep.apply_epoch(e1, 1)
     assert table_state(spark, table) == {}
+
+
+def test_salted_compact_preserves_evolved_columns(spark):
+    """ADVICE fix: the salted compact() path must carry EVERY non-key
+    event column (schema evolution), not a hardcoded payload list."""
+    rows = [
+        ("r1", "a.py", 1, 1, "U", "c1", "py", "old", "extra0"),
+        ("r1", "a.py", 2, 1, "U", "c2", "py", "new", "extra1"),
+        ("r2", "b.py", 3, 1, "U", "c3", "py", "keep", "extra2"),
+    ]
+    events = spark.createDataFrame(
+        rows, ["repo", "path", "seq", "epoch", "op", "commit", "lang",
+               "content", "evolved_col"])
+    table = SnapshotTable.__new__(SnapshotTable)  # only compact() is used
+    rep_salted = CdcReplayer(table=None, salt_buckets=4)
+    rep_plain = CdcReplayer(table=None, salt_buckets=0)
+    got_s = {tuple(r) for r in rep_salted.compact(events).collect()}
+    got_p = {tuple(r) for r in rep_plain.compact(events)
+             .select(*rep_salted.compact(events).columns).collect()}
+    assert got_s == got_p
+    assert any(r[-1] == "extra1" for r in got_s)  # evolved col survived
+
+
+def test_flag_mode_rejects_row_dropping_ops(spark, docs):
+    """ADVICE fix: a Deduplicator (or any op that cannot express a
+    keep_expr) must raise in flag mode instead of silently dropping
+    rows (which would corrupt CDC delete semantics)."""
+    pipe = Pipeline([
+        {"document_deduplicator": {"text_key": "text", "id_key": "doc_id"}},
+    ])
+    with pytest.raises(ValueError, match="flag"):
+        pipe.apply(docs, filter_mode="flag")
+
+
+def test_flag_mode_handles_non_stats_filters(spark, docs):
+    """suffix/specified-field filters now express keep_expr, so flag
+    mode ANDs them instead of raising or dropping."""
+    pipe = Pipeline([
+        {"specified_numeric_field_filter":
+             {"field_key": "n_chars", "min_value": 100, "max_value": 300}},
+        {"general_field_filter": {"filter_condition": "lang = 'en'"}},
+    ])
+    flagged = pipe.apply(docs, filter_mode="flag")
+    assert flagged.count() == docs.count()  # no rows dropped
+    kept = flagged.where(F.col("__keep__")).count()
+    exp = docs.where("n_chars between 100 and 300 and lang = 'en'").count()
+    assert kept == exp

@@ -473,6 +473,35 @@ def _q_cdc_replay_lake(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_cdc_changelog(spark, sf_dir):
+    """Time travel + CDC-out: replay the deterministic mini-binlog, then
+    read the changelog between epoch 1 and the final state (insert/
+    update/delete rows with new values). Deterministic; rows-only
+    (multi-epoch stateful — pytest asserts full pandas-oracle parity)."""
+    import tempfile
+    import shutil
+
+    from data_juicer_spark.cdc import CdcReplayer, generate_events
+    from data_juicer_spark.lake import SnapshotTable
+
+    root = tempfile.mkdtemp(prefix="q_changelog_")
+    try:
+        events = generate_events(spark, 2000, batch_size=500, n_repos=10,
+                                 n_paths=60, num_partitions=8)
+        table = SnapshotTable(spark, root, ["repo", "path"], num_buckets=8,
+                              strategy="mor", compact_every=3)
+        CdcReplayer(table).replay(events)
+        out = table.read_changes(1).select(
+            "repo", "path", "_change_type",
+            F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias("content_sha256"),
+        )
+        out = out.persist()
+        out.count()  # materialize before the temp dir vanishes
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_dedup_embedding_cosine(spark, sf_dir):
     from data_juicer_spark.registry import OPERATORS
 
@@ -800,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_like": _q_tpch_q1_like,
         "tpch_q3_like": _q_tpch_q3_like,
         "cdc_replay_lake": _q_cdc_replay_lake,
+        "cdc_changelog": _q_cdc_changelog,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "filter_embd_similarity": _q_filter_embd_similarity,
         "mapper_clean_email": _q_mapper_clean_email,
@@ -1573,10 +1603,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         # NO oracle (rows-only checks; not SQL-expressible):
         # dedup_minhash / dedup_simhash / dedup_ngram_jaccard (LSH /
-        # hamming-block / connected-components clustering),
+        # hamming-block / connected-components clustering; exhaustive
+        # sequential-oracle pytest in tests/test_dedup_oracle.py),
         # selector_random (engine-seeded sampling), similarity_lsh
-        # (approximate recall), cdc_replay_lake (multi-epoch stateful
-        # MERGE; pytest asserts full pandas-oracle parity instead).
+        # (approximate recall), cdc_replay_lake + cdc_changelog
+        # (multi-epoch stateful MERGE / time-travel diff; pytest asserts
+        # full pandas-oracle parity instead).
     }
 
 

@@ -95,6 +95,8 @@ class SnapshotTable:
         return snap["epoch"] if snap else -1
 
     def snapshot_history(self) -> List[dict]:
+        """Current-first parent chain; stops gracefully at expired
+        (deleted) ancestors."""
         out = []
         snap = self.current_snapshot()
         while snap is not None:
@@ -102,9 +104,27 @@ class SnapshotTable:
             parent = snap.get("parent")
             if parent is None:
                 break
-            with open(f"{self.root}/metadata/snap-{parent}.json") as f:
-                snap = json.load(f)
+            try:
+                with open(f"{self.root}/metadata/snap-{parent}.json") as f:
+                    snap = json.load(f)
+            except FileNotFoundError:
+                break  # ancestor expired by expire_snapshots()
         return out
+
+    def snapshot_at_epoch(self, epoch: int) -> Optional[dict]:
+        """Latest retained snapshot whose epoch <= the requested epoch
+        (time travel). None if the epoch predates the table's FIRST
+        commit (table didn't exist yet); raises if that history was
+        expired (reading it would silently return wrong data)."""
+        hist = self.snapshot_history()
+        for snap in hist:
+            if snap["epoch"] <= epoch:
+                return snap
+        if hist and hist[-1].get("parent") is not None:
+            raise ValueError(
+                f"snapshot history at epoch {epoch} has been expired "
+                f"(oldest retained epoch: {hist[-1]['epoch']})")
+        return None
 
     def _commit(self, manifest: dict) -> dict:
         snap_id = manifest["snapshot_id"]
@@ -143,14 +163,27 @@ class SnapshotTable:
             out.update(int(b) for b in d.get("delete_buckets", {}))
         return out
 
-    def read(self, buckets: Optional[List[int]] = None) -> Optional[DataFrame]:
-        """Current table state. `buckets` prunes to listed buckets only
-        (the merge path reads just the changed buckets).
+    def read(self, buckets: Optional[List[int]] = None,
+             snapshot: Optional[dict] = None,
+             at_epoch: Optional[int] = None) -> Optional[DataFrame]:
+        """Table state. `buckets` prunes to listed buckets only (the
+        merge path reads just the changed buckets). Time travel: pass a
+        manifest via `snapshot` or an epoch via `at_epoch` (reads the
+        latest snapshot committed at or before that epoch — manifests
+        and data files are immutable, so historical reads are free).
 
         MOR resolution is bucket-pruned: buckets untouched by any delta
         are plain scans; only delta-touched buckets pay the per-key
         last-writer window."""
-        snap = self.current_snapshot()
+        if snapshot is not None and at_epoch is not None:
+            raise ValueError("pass snapshot OR at_epoch, not both")
+        if at_epoch is not None:
+            snapshot = self.snapshot_at_epoch(at_epoch)
+            if snapshot is None:
+                return None  # table did not exist yet at that epoch
+            snap = snapshot
+        else:
+            snap = snapshot if snapshot is not None else self.current_snapshot()
         if snap is None:
             return None
         schema = T.StructType.fromJson(snap["schema"])
@@ -447,6 +480,110 @@ class SnapshotTable:
         if len(committed["deltas"]) >= self.compact_every:
             committed = self._compact(committed, epoch=epoch)
         return committed
+
+    # -- CDC-out: changelog between epochs ----------------------------------
+
+    def read_changes(self, from_epoch: int, to_epoch: Optional[int] = None
+                     ) -> Optional[DataFrame]:
+        """Changelog between two committed epochs: one row per key whose
+        state differs, with `_change_type` ∈ insert/update/delete and the
+        NEW row values (nulls for deletes) — the shape of Delta CDF /
+        Iceberg changelog reads, so a downstream pipeline can chain off
+        this table as its own CDC source.
+
+        Implementation: snapshot diff (full outer join of the two
+        retained states on the key, value comparison via a row hash).
+        Correct for COW and MOR alike, after compaction, and across any
+        epoch span; cost is O(state at the two epochs), bucket-aligned
+        on both sides so the join is co-partitioned. (When only the MOR
+        deltas for the span are needed, the per-epoch lineage in
+        CdcReplayer already exposes them O(batch) — this reader is the
+        general any-span path.)"""
+        new_snap = (self.current_snapshot() if to_epoch is None
+                    else self.snapshot_at_epoch(to_epoch))
+        if new_snap is None:
+            return None
+        new_df = self.read(snapshot=new_snap)
+        old_df = self.read(at_epoch=from_epoch)
+        schema = T.StructType.fromJson(new_snap["schema"])
+        value_cols = [f.name for f in schema.fields
+                      if f.name not in self.key_cols]
+        if old_df is None:
+            return new_df.select(
+                *self.key_cols, *value_cols,
+                F.lit("insert").alias("_change_type"))
+
+        def hashed(df, side):
+            cols = [c for c in df.columns if c not in self.key_cols]
+            row_hash = F.sha2(F.to_json(F.struct(*[
+                F.col(c) for c in sorted(cols)])), 256)
+            return df.select(
+                *self.key_cols,
+                *[F.col(c).alias(f"{side}_{c}") for c in value_cols
+                  if c in df.columns],
+                row_hash.alias(f"{side}_hash"),
+            )
+
+        j = hashed(old_df, "o").join(hashed(new_df, "n"),
+                                     on=self.key_cols, how="full_outer")
+        new_vals = [F.col(f"n_{c}").alias(c) for c in value_cols
+                    if f"n_{c}" in j.columns]
+        return (
+            j.withColumn(
+                "_change_type",
+                F.when(F.col("o_hash").isNull(), "insert")
+                .when(F.col("n_hash").isNull(), "delete")
+                .otherwise("update"))
+            .where((F.col("o_hash").isNull()) | (F.col("n_hash").isNull())
+                   | (F.col("o_hash") != F.col("n_hash")))
+            .select(*self.key_cols, *new_vals, "_change_type")
+        )
+
+    # -- maintenance: snapshot expiry ---------------------------------------
+
+    def expire_snapshots(self, keep_last: int = 5) -> dict:
+        """Drop all but the most recent `keep_last` snapshots: delete
+        their manifests and any data directory no retained manifest
+        references (bucket dirs are shared across snapshots by
+        carry-forward, so reachability is computed at bucket-dir
+        granularity). Time travel past the horizon then raises instead
+        of answering wrong. Returns {'manifests': n, 'data_dirs': n}."""
+        import shutil
+
+        hist = self.snapshot_history()
+        keep = hist[:max(keep_last, 1)]
+        keep_ids = {s["snapshot_id"] for s in keep}
+        referenced = set()
+        for s in keep:
+            referenced.update(os.path.normpath(d) for d in s["buckets"].values())
+            for delta in s.get("deltas", []):
+                referenced.update(
+                    os.path.normpath(d) for d in delta["upsert_buckets"].values())
+                referenced.update(
+                    os.path.normpath(d)
+                    for d in delta.get("delete_buckets", {}).values())
+        n_manifests = n_dirs = 0
+        meta = f"{self.root}/metadata"
+        for name in os.listdir(meta):
+            if name.startswith("snap-") and name.endswith(".json") \
+                    and name[5:-5] not in keep_ids:
+                os.remove(os.path.join(meta, name))
+                n_manifests += 1
+        data = f"{self.root}/data"
+        for top in os.listdir(data):
+            top_path = os.path.join(data, top)
+            if not os.path.isdir(top_path):
+                continue
+            for sub, dirs, _files in os.walk(top_path, topdown=False):
+                if os.path.basename(sub).startswith("__bucket__=") \
+                        and os.path.normpath(sub) not in referenced:
+                    shutil.rmtree(sub, ignore_errors=True)
+                    n_dirs += 1
+            # remove now-empty containers (incl. kept_col=… levels)
+            for sub, dirs, files in os.walk(top_path, topdown=False):
+                if not os.listdir(sub):
+                    os.rmdir(sub)
+        return {"manifests": n_manifests, "data_dirs": n_dirs}
 
     def _compact(self, cur: dict, epoch: int) -> dict:
         """Fold deltas into the base: resolve only delta-touched buckets,

@@ -301,3 +301,102 @@ def test_flag_mode_handles_non_stats_filters(spark, docs):
     kept = flagged.where(F.col("__keep__")).count()
     exp = docs.where("n_chars between 100 and 300 and lang = 'en'").count()
     assert kept == exp
+
+
+def _pandas_state_at(events_df, epoch):
+    pdf = events_df.toPandas()
+    pdf = pdf[pdf["epoch"] <= epoch].sort_values("seq")
+    state = {}
+    for _, r in pdf.iterrows():
+        key = (r["repo"], r["path"])
+        if r["op"] == "D":
+            state.pop(key, None)
+        else:
+            state[key] = r["content"]
+    return {k: hashlib.sha256(v.encode()).hexdigest() for k, v in state.items()}
+
+
+def test_time_travel_reads_historical_state(spark, tmp_root, strategy):
+    """read(at_epoch=k) must equal the pandas oracle replayed through
+    epoch k — for every epoch, on both strategies (manifests and data
+    files are immutable, so history is free)."""
+    events = make_events(spark, 2000, 500).persist()
+    table = SnapshotTable(spark, tmp_root, ["repo", "path"],
+                          num_buckets=8, strategy=strategy, compact_every=3)
+    CdcReplayer(table).replay(events)
+    max_epoch = events.agg(F.max("epoch")).collect()[0][0]
+    for ep in range(0, max_epoch + 1):  # generator epochs start at 0
+        got = {
+            (r["repo"], r["path"]): r["h"]
+            for r in table.read(at_epoch=ep)
+            .select("repo", "path", F.sha2("content", 256).alias("h")).collect()
+        }
+        assert got == _pandas_state_at(events, ep), f"epoch {ep} mismatch"
+    # before the first commit the table did not exist
+    assert table.read(at_epoch=-1) is None
+    events.unpersist()
+
+
+def _pandas_rows_at(events_df, epoch):
+    """key -> full last-writer payload tuple (CDC changelogs compare
+    FULL rows: a re-upsert with a new seq/commit but identical content
+    is still an update)."""
+    pdf = events_df.toPandas()
+    pdf = pdf[pdf["epoch"] <= epoch].sort_values("seq")
+    state = {}
+    for _, r in pdf.iterrows():
+        key = (r["repo"], r["path"])
+        if r["op"] == "D":
+            state.pop(key, None)
+        else:
+            state[key] = (int(r["seq"]), int(r["epoch"]), r["commit"],
+                          r["lang"], r["content"])
+    return state
+
+
+def test_read_changes_matches_state_diff(spark, tmp_root, strategy):
+    events = make_events(spark, 2000, 500).persist()
+    table = SnapshotTable(spark, tmp_root, ["repo", "path"],
+                          num_buckets=8, strategy=strategy, compact_every=3)
+    CdcReplayer(table).replay(events)
+    max_epoch = events.agg(F.max("epoch")).collect()[0][0]
+    lo, hi = 1, max_epoch
+    old, new = _pandas_rows_at(events, lo), _pandas_rows_at(events, hi)
+    expected = {}
+    for k in new.keys() - old.keys():
+        expected[k] = "insert"
+    for k in old.keys() - new.keys():
+        expected[k] = "delete"
+    for k in new.keys() & old.keys():
+        if new[k] != old[k]:
+            expected[k] = "update"
+    rows = table.read_changes(lo, hi).collect()
+    got = {(r["repo"], r["path"]): r["_change_type"] for r in rows}
+    assert got == expected
+    # new values ride along; deletes carry nulls
+    for r in rows:
+        if r["_change_type"] == "delete":
+            assert r["content"] is None
+        else:
+            assert r["content"] == new[(r["repo"], r["path"])][4]
+    events.unpersist()
+
+
+def test_expire_snapshots_keeps_current_state(spark, tmp_root):
+    events = make_events(spark, 2000, 250).persist()
+    table = SnapshotTable(spark, tmp_root, ["repo", "path"],
+                          num_buckets=8, strategy="mor", compact_every=3)
+    CdcReplayer(table).replay(events)
+    before = table_state(spark, table)
+    n_hist = len(table.snapshot_history())
+    assert n_hist > 2
+    stats = table.expire_snapshots(keep_last=2)
+    assert stats["manifests"] > 0 and stats["data_dirs"] > 0
+    assert len(table.snapshot_history()) == 2
+    assert table_state(spark, table) == before  # current read unchanged
+    # time travel past the horizon refuses instead of answering wrong
+    oldest = table.snapshot_history()[-1]["epoch"]
+    if oldest > 1:
+        with pytest.raises(ValueError, match="expired"):
+            table.read(at_epoch=oldest - 1)
+    events.unpersist()

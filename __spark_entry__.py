@@ -768,6 +768,19 @@ def _q_mapper_remove_repeat_sentences(spark, sf_dir):
     return op.apply(df).select("doc_id", "text")
 
 
+def _q_analyzer_correlation(spark, sf_dir):
+    """Pairwise Pearson correlation of filter stats (CorrelationAnalysis
+    mirror) — one distributed agg pass, oracled by DuckDB corr()."""
+    from data_juicer_spark.analysis.analyzer import Analyzer
+
+    an = Analyzer([
+        {"text_length_filter": {"text_key": "text"}},
+        {"words_num_filter": {"text_key": "text"}},
+        {"alphanumeric_filter": {"text_key": "text"}},
+    ])
+    return an.correlation(_t(spark, sf_dir, "documents"))
+
+
 def _q_filter_stopwords_multilang(spark, sf_dir):
     from data_juicer_spark.registry import OPERATORS
 
@@ -859,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mapper_remove_repeat_sentences": _q_mapper_remove_repeat_sentences,
         "filter_stopwords_multilang": _q_filter_stopwords_multilang,
         "filter_words_num_bpe": _q_filter_words_num_bpe,
+        "analyzer_correlation": _q_analyzer_correlation,
     }
 
 
@@ -1600,6 +1614,25 @@ def oracle_sql() -> dict[str, str]:
                        AS num_words
               FROM documents
             ) WHERE num_words BETWEEN 30 AND 120
+        """,
+        "analyzer_correlation": f"""
+            WITH s AS (
+              SELECT CAST(length(text) AS DOUBLE) AS text_len,
+                     CAST(len({_WORDS}) AS DOUBLE) AS num_words,
+                     CASE WHEN length(text) = 0 THEN 0.0
+                          ELSE CAST(length(regexp_replace(text,
+                                 '[^a-zA-Z0-9]', '', 'g')) AS DOUBLE)
+                               / length(text) END AS alnum_ratio
+              FROM documents
+            )
+            SELECT 'text_len' AS stat_a, 'num_words' AS stat_b,
+                   round(corr(text_len, num_words), 6) AS corr FROM s
+            UNION ALL
+            SELECT 'text_len', 'alnum_ratio',
+                   round(corr(text_len, alnum_ratio), 6) FROM s
+            UNION ALL
+            SELECT 'num_words', 'alnum_ratio',
+                   round(corr(num_words, alnum_ratio), 6) FROM s
         """,
         # NO oracle (rows-only checks; not SQL-expressible):
         # dedup_minhash / dedup_simhash / dedup_ngram_jaccard (LSH /

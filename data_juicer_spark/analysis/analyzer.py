@@ -81,6 +81,79 @@ class Analyzer:
         finally:
             flat.unpersist()
 
+    def _numeric_stats(self, stats_df: DataFrame) -> List[str]:
+        return [
+            f.name
+            for f in stats_df.schema[STATS_COL].dataType.fields
+            if f.dataType.typeName() in
+            ("double", "float", "long", "integer", "short")
+        ]
+
+    def correlation(self, df: DataFrame,
+                    stats: Optional[List[str]] = None) -> DataFrame:
+        """CorrelationAnalysis mirror (reference analysis/
+        correlation_analysis.py): pairwise Pearson correlation of the
+        numeric stat columns, computed in ONE distributed agg pass
+        (k*(k-1)/2 F.corr aggregates — no per-pair scans). Returns a
+        tidy (stat_a, stat_b, corr) frame."""
+        stats_df = self.compute_stats(df)
+        cols = stats or self._numeric_stats(stats_df)
+        flat = stats_df.select(
+            *[F.col(f"{STATS_COL}.{c}").cast("double").alias(c) for c in cols])
+        pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+        row = flat.agg(*[
+            F.round(F.corr(a, b), 6).alias(f"{a}|{b}") for a, b in pairs
+        ]).collect()[0]
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [(a, b, row[f"{a}|{b}"]) for a, b in pairs],
+            "stat_a string, stat_b string, corr double")
+
+    def insight_mining(self, before: DataFrame, after: DataFrame,
+                       stats: Optional[List[str]] = None,
+                       threshold: float = 1.96) -> DataFrame:
+        """Per-op distribution-shift insight (reference core/adapter.py
+        insight mining + analysis/measure.py:64-115's t-test): Welch's t
+        statistic per stat from one agg pass per side (n, mean, var) —
+        no scipy; `significant` flags |t| above the given normal-approx
+        critical value (1.96 ≈ two-sided 5%, documented deviation: no
+        exact p-value tables)."""
+        sb, sa = self.compute_stats(before), self.compute_stats(after)
+        cols = stats or [
+            c for c in self._numeric_stats(sb)
+            if c in set(self._numeric_stats(sa))
+        ]
+
+        def moments(sdf):
+            flat = sdf.select(*[
+                F.col(f"{STATS_COL}.{c}").cast("double").alias(c) for c in cols])
+            aggs = []
+            for c in cols:
+                aggs += [F.count(c).alias(f"{c}__n"),
+                         F.avg(c).alias(f"{c}__m"),
+                         F.var_samp(c).alias(f"{c}__v")]
+            return flat.agg(*aggs).collect()[0]
+
+        rb, ra = moments(sb), moments(sa)
+        out = []
+        for c in cols:
+            nb, mb, vb = rb[f"{c}__n"], rb[f"{c}__m"], rb[f"{c}__v"]
+            na, ma, va = ra[f"{c}__n"], ra[f"{c}__m"], ra[f"{c}__v"]
+            if not nb or not na or vb is None or va is None:
+                t = None
+            else:
+                denom = (vb / nb + va / na) ** 0.5
+                t = (ma - mb) / denom if denom > 0 else 0.0
+            out.append((c, int(nb or 0), float(mb) if mb is not None else None,
+                        int(na or 0), float(ma) if ma is not None else None,
+                        round(t, 4) if t is not None else None,
+                        bool(t is not None and abs(t) > threshold)))
+        spark = before.sparkSession
+        return spark.createDataFrame(
+            out, "stat string, n_before long, mean_before double, "
+                 "n_after long, mean_after double, welch_t double, "
+                 "significant boolean")
+
     def column_wise_hist(self, df: DataFrame, stat: str, bins: int = 20):
         """ColumnWiseAnalysis-style histogram for one stat (list of
         (bin_start, count)), computed distributed via width_bucket."""

@@ -130,3 +130,33 @@ def test_tsv_extension_maps_to_tab_separator(spark, tmpd):
     assert df.columns == ["doc_id", "text"]
     assert df.count() == 2
     assert {r["text"] for r in df.collect()} == {"hello world", "second row"}
+
+
+def test_analyzer_correlation(spark, docs):
+    from data_juicer_spark.analysis.analyzer import Analyzer
+
+    an = Analyzer([
+        {"text_length_filter": {"text_key": "text"}},
+        {"words_num_filter": {"text_key": "text"}},
+    ])
+    rows = an.correlation(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["stat_a"], r["stat_b"]) == ("text_len", "num_words")
+    assert 0.8 < r["corr"] <= 1.0  # length and word count strongly correlate
+
+
+def test_analyzer_insight_mining(spark, docs):
+    """Distribution-shift detection: a length filter shifts mean text_len
+    up significantly; an identity 'shift' is not significant."""
+    from data_juicer_spark.analysis.analyzer import Analyzer
+    from pyspark.sql import functions as F
+
+    an = Analyzer([{"text_length_filter": {"text_key": "text"}}])
+    after = docs.where(F.length("text") > 200)
+    shifted = {r["stat"]: r for r in an.insight_mining(docs, after).collect()}
+    assert shifted["text_len"]["significant"] is True
+    assert shifted["text_len"]["mean_after"] > shifted["text_len"]["mean_before"]
+    same = {r["stat"]: r for r in an.insight_mining(docs, docs).collect()}
+    assert same["text_len"]["significant"] is False
+    assert abs(same["text_len"]["welch_t"]) < 1e-9

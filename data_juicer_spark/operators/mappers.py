@@ -291,24 +291,64 @@ class CleanHtmlMapper(Mapper):
 
 @OPERATORS.register("fix_unicode_mapper")
 class FixUnicodeMapper(Mapper):
-    """unicode normalization (fix_unicode_mapper.py:22-49 uses ftfy;
-    hermetic: NFC/NFKC/NFD/NFKD via unicodedata in an Arrow-batched UDF)."""
+    """unicode repair (fix_unicode_mapper.py:22-49 uses ftfy): NFC/NFKC/
+    NFD/NFKD normalization via unicodedata, plus ftfy's core mojibake
+    heuristic (``fix_mojibake=True``): text that was UTF-8 decoded as
+    latin-1/cp1252 ("Ã©", "â€™", …) is re-encoded and re-decoded, up to
+    twice for double-mojibake, keeping the original whenever the
+    roundtrip fails or produces replacement chars. Hermetic deviation:
+    ftfy's full heuristic set (HTML entities, curly-quote repair, …) is
+    not replicated."""
 
-    def __init__(self, normalization: str = "NFC", **kw):
+    # UTF-8 lead bytes (0xC2/0xC3/0xE2) mis-decoded as latin-1/cp1252
+    # appear as these marker chars followed by a high-latin or cp1252
+    # punctuation char
+    _MOJIBAKE_HINT = re.compile(
+        "[\u00c2\u00c3\u00e2][\u00a0-\u00ff\u20ac\u201a\u0192"
+        "\u201e\u2026\u2020\u2021\u02c6\u2030\u0160\u2039\u0152"
+        "\u017d\u2018\u2019\u201c\u201d\u2022\u2013\u2014\u02dc"
+        "\u2122\u0161\u203a\u0153\u017e\u0178]"
+    )
+
+    def __init__(self, normalization: str = "NFC",
+                 fix_mojibake: bool = True, **kw):
         super().__init__(**kw)
         form = normalization.upper()
         if form not in ("NFC", "NFKC", "NFD", "NFKD"):
             raise ValueError(f"bad normalization {form}")
         self.form = form
+        self.fix_mojibake = fix_mojibake
 
     def apply(self, df: DataFrame) -> DataFrame:
         form = self.form
+        do_moji = self.fix_mojibake
+        hint = self._MOJIBAKE_HINT
 
         @pandas_udf(StringType())
         def fix(s: pd.Series) -> pd.Series:
             import unicodedata
 
-            return s.map(lambda t: unicodedata.normalize(form, t) if t is not None else t)
+            def demojibake(t):
+                for codec in ("cp1252", "latin-1"):
+                    try:
+                        repaired = t.encode(codec).decode("utf-8")
+                    except (UnicodeEncodeError, UnicodeDecodeError):
+                        continue
+                    if "�" not in repaired:
+                        return repaired
+                return t
+
+            def one(t):
+                if t is None:
+                    return t
+                if do_moji and hint.search(t):
+                    repaired = demojibake(t)
+                    if repaired != t and hint.search(repaired):
+                        repaired = demojibake(repaired)  # double mojibake
+                    t = repaired
+                return unicodedata.normalize(form, t)
+
+            return s.map(one)
 
         return df.withColumn(self.text_key, fix(F.col(self.text_key)))
 

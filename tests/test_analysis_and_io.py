@@ -160,3 +160,44 @@ def test_analyzer_insight_mining(spark, docs):
     same = {r["stat"]: r for r in an.insight_mining(docs, docs).collect()}
     assert same["text_len"]["significant"] is False
     assert abs(same["text_len"]["welch_t"]) < 1e-9
+
+
+def test_webdataset_roundtrip(spark, tmpd):
+    """webdataset tar shards: stdlib-tar reader over binaryFile scans and
+    the matching sharded writer (reference Ray datasource parity)."""
+    import io
+    import os
+    import tarfile
+
+    from data_juicer_spark.sources.webdataset import (
+        read_webdataset, write_webdataset,
+    )
+
+    src = os.path.join(tmpd, "wds")
+    os.makedirs(src)
+    with tarfile.open(os.path.join(src, "shard-000.tar"), "w") as tf:
+        for key, txt, blob in [("s1", "hello", b"\x00\x01"),
+                               ("s2", "world", b"\xff")]:
+            for ext, data in (("txt", txt.encode()), ("bin", blob)):
+                info = tarfile.TarInfo(name=f"{key}.{ext}")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+        info = tarfile.TarInfo(name="s3.txt")  # sample missing the bin member
+        info.size = 4
+        tf.addfile(info, io.BytesIO(b"solo"))
+
+    df = read_webdataset(spark, f"{src}/*.tar",
+                         {"txt": "string", "bin": "binary"})
+    rows = {r["sample_key"]: (r["txt"], bytes(r["bin"]) if r["bin"] else None)
+            for r in df.collect()}
+    assert rows == {"s1": ("hello", b"\x00\x01"),
+                    "s2": ("world", b"\xff"), "s3": ("solo", None)}
+
+    out = os.path.join(tmpd, "wds_out")
+    n = write_webdataset(df, out, {"txt": "string", "bin": "binary"},
+                         num_shards=2)
+    assert n == 3
+    back = read_webdataset(spark, f"{out}/*.tar",
+                           {"txt": "string", "bin": "binary"})
+    got = {r["sample_key"]: r["txt"] for r in back.collect()}
+    assert got == {"s1": "hello", "s2": "world", "s3": "solo"}

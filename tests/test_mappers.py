@@ -155,3 +155,17 @@ def test_remove_header(spark):
     doc = "preamble stuff \\section{Intro} body"
     assert run_mapper(spark, "remove_header_mapper", [doc]) == \
         ["\\section{Intro} body"]
+
+
+def test_fix_unicode_mojibake(spark):
+    good = "Caf\u00e9 \u2014 na\u00efve ok"
+    bad = good.encode("utf-8").decode("latin-1")      # single mojibake
+    double = bad.encode("utf-8").decode("latin-1")    # double mojibake
+    out = run_mapper(spark, "fix_unicode_mapper", [bad, double, good, "plain"])
+    assert out == [good, good, good, "plain"]
+
+
+def test_fix_unicode_mojibake_off(spark):
+    bad = "Caf\u00e9".encode("utf-8").decode("latin-1")
+    out = run_mapper(spark, "fix_unicode_mapper", [bad], fix_mojibake=False)
+    assert out == [bad]  # repair disabled: NFC only

@@ -353,6 +353,20 @@ def _q_similarity_lsh(spark, sf_dir):
                     n_planes=8).select("q_id", "vec_id", "cos_sim", "rank")
 
 
+def _q_similarity_ivf(spark, sf_dir):
+    """IVF-flat ANN (k-means inverted lists, n_probe nearest): rows-only
+    (approximate recall; k-means training not SQL-expressible). Output
+    size is exactly k per query, so the row count is stable."""
+    from data_juicer_spark.functions.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    emb_d = emb.select("vec_id", F.transform(
+        "embedding", lambda x: x.cast("double")).alias("embedding"))
+    q = emb_d.where(F.col("vec_id") < 5).selectExpr("vec_id as q_id", "embedding")
+    return ivf_topk(q, emb_d.where(F.col("vec_id") >= 5), k=10, n_lists=8,
+                    n_probe=3).select("q_id", "vec_id", "cos_sim", "rank")
+
+
 def _q_analyzer_summary(spark, sf_dir):
     df = _t(spark, sf_dir, "documents")
     parts = []
@@ -836,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "similarity_lsh": _q_similarity_lsh,
+        "similarity_ivf": _q_similarity_ivf,
         "analyzer_summary": _q_analyzer_summary,
         "events_running_sum": _q_events_running_sum,
         "events_sessionize": _q_events_sessionize,

@@ -96,6 +96,55 @@ def hyperplane_signatures(df: DataFrame, vec: str, dim: int | None = None,
     return df.withColumn(out, bucket_udf(F.col(vec)))
 
 
+def ivf_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 10,
+    n_lists: int = 16, n_probe: int = 3, seed: int = 42,
+    q_id: str = "q_id", c_id: str = "vec_id", vec: str = "embedding",
+) -> DataFrame:
+    """IVF-flat ANN top-k: a k-means coarse quantizer (pyspark.ml KMeans,
+    distributed JVM training) partitions the corpus into n_lists inverted
+    lists; each query probes its n_probe nearest centroids and scores
+    only those lists — candidate work drops ~n_lists/n_probe-fold vs the
+    brute-force scan while keeping high recall on clustered data.
+
+    Plan shape at scale: one KMeans fit (sampled/iterative, JVM), one
+    corpus pass to assign list ids (model.transform), a broadcast of the
+    (tiny) probed query set, and a list-id equi-join — no all-pairs."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.functions import pandas_udf
+
+    c = corpus.select(F.col(c_id), F.col(vec).alias("__cv__"),
+                      array_to_vector(F.col(vec)).alias("__feat__"))
+    km = KMeans(k=n_lists, seed=seed, featuresCol="__feat__",
+                predictionCol="__list__")
+    model = km.fit(c)
+    assigned = model.transform(c).select(c_id, "__cv__", "__list__")
+
+    centers = np.stack([np.asarray(ctr) for ctr in model.clusterCenters()])
+    n_pr = min(n_probe, len(centers))
+
+    @pandas_udf("array<int>")
+    def probe_lists(vs):
+        import pandas as pd
+
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+        d2 = ((mat[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        idx = np.argsort(d2, axis=1)[:, :n_pr]
+        return pd.Series([row.astype("int32").tolist() for row in idx])
+
+    q = queries.select(F.col(q_id), F.col(vec).alias("__qv__"),
+                       F.explode(probe_lists(F.col(vec))).alias("__list__"))
+    scored = assigned.join(F.broadcast(q), "__list__").select(
+        q_id, c_id,
+        F.round(cosine(F.col("__qv__"), F.col("__cv__")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("cos_sim").desc(), F.col(c_id).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def lsh_topk(
     queries: DataFrame, corpus: DataFrame, dim: int | None = None, k: int = 10,
     n_planes: int = 12, q_id: str = "q_id", c_id: str = "vec_id",

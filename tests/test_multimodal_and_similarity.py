@@ -121,3 +121,32 @@ def test_streaming_replay_file_source(spark):
         assert state(t_batch) == state(t_stream)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ivf_topk_recall(spark):
+    """IVF path: on well-clustered data the probed lists contain the true
+    neighbors, so IVF top-k matches brute force for in-cluster queries."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from data_juicer_spark.functions.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.RandomState(7)
+    centers = rng.normal(scale=10.0, size=(4, 16))
+    rows = []
+    vid = 0
+    for ci in range(4):
+        for _ in range(50):
+            v = centers[ci] + rng.normal(scale=0.5, size=16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.where(F.col("vec_id").isin([0, 60, 120, 180])) \
+        .selectExpr("vec_id as q_id", "embedding")
+    corpus = df
+    exact = {(r["q_id"], r["rank"]): r["vec_id"]
+             for r in brute_force_topk(queries, corpus, k=5).collect()}
+    approx = {(r["q_id"], r["rank"]): r["vec_id"]
+              for r in ivf_topk(queries, corpus, k=5, n_lists=4,
+                                n_probe=2, seed=42).collect()}
+    assert approx == exact  # clusters are well separated → full recall

@@ -97,10 +97,16 @@ class Analyzer:
         (k*(k-1)/2 F.corr aggregates — no per-pair scans). Returns a
         tidy (stat_a, stat_b, corr) frame."""
         stats_df = self.compute_stats(df)
-        cols = stats or self._numeric_stats(stats_df)
+        spark_ = df.sparkSession
+        cols = stats or (
+            self._numeric_stats(stats_df)
+            if STATS_COL in stats_df.columns else [])
+        pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+        if not pairs:  # <2 numeric stats → empty result, not a crash
+            return spark_.createDataFrame(
+                [], "stat_a string, stat_b string, corr double")
         flat = stats_df.select(
             *[F.col(f"{STATS_COL}.{c}").cast("double").alias(c) for c in cols])
-        pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
         row = flat.agg(*[
             F.round(F.corr(a, b), 6).alias(f"{a}|{b}") for a, b in pairs
         ]).collect()[0]
@@ -141,13 +147,21 @@ class Analyzer:
             na, ma, va = ra[f"{c}__n"], ra[f"{c}__m"], ra[f"{c}__v"]
             if not nb or not na or vb is None or va is None:
                 t = None
+                sig = False
             else:
                 denom = (vb / nb + va / na) ** 0.5
-                t = (ma - mb) / denom if denom > 0 else 0.0
+                if denom > 0:
+                    t = (ma - mb) / denom
+                elif ma != mb:
+                    # both sides constant but at DIFFERENT values: the
+                    # strongest possible shift, not "no shift"
+                    t = float("inf") if ma > mb else float("-inf")
+                else:
+                    t = 0.0
+                sig = abs(t) > threshold
             out.append((c, int(nb or 0), float(mb) if mb is not None else None,
                         int(na or 0), float(ma) if ma is not None else None,
-                        round(t, 4) if t is not None else None,
-                        bool(t is not None and abs(t) > threshold)))
+                        round(t, 4) if t is not None else None, bool(sig)))
         spark = before.sparkSession
         return spark.createDataFrame(
             out, "stat string, n_before long, mean_before double, "

@@ -71,10 +71,15 @@ def exclusive_prefix_sum(df: DataFrame, value_col: str, weight_col: str,
             yield pdf[[value_col, weight_col, out]]
 
     # spark_partition_id() is evaluated on the SAME persisted partitioning
-    # the totals were collected from, so offsets line up deterministically
+    # the totals were collected from, so offsets line up deterministically;
+    # the eager localCheckpoint materializes the (small: one row per
+    # distinct value) result so the cache can be released immediately —
+    # no per-invocation storage leak in long-lived sessions
     ranked = (
         part.sortWithinPartitions(value_col)
         .withColumn("__pid__", F.spark_partition_id())
         .mapInPandas(local_cumsum, schema=out_schema)
+        .localCheckpoint(eager=True)
     )
+    part.unpersist()
     return ranked, total

@@ -87,11 +87,28 @@ def hyperplane_signatures(df: DataFrame, vec: str, dim: int | None = None,
 
         if len(s) == 0:
             return pd.Series([], dtype="int64")
-        mat = np.array([np.asarray(v, dtype=np.float64) for v in s])
-        planes = np.random.RandomState(sd).normal(size=(n_pl, mat.shape[1]))
-        bits = (mat @ planes.T) > 0
+        # planes are keyed by the vector's OWN length (deterministic from
+        # the seed), so buckets are consistent across Arrow batches no
+        # matter how rows are batched; null vectors get a null bucket
+        # (form no pairs) instead of failing the batch. A ragged minority
+        # length can only collide with the majority's bucket IDs
+        # spuriously — every consumer exact-verifies candidates with
+        # cosine(), which is NULL across mismatched lengths.
+        arrs = [None if v is None else np.asarray(v, dtype=np.float64)
+                for v in s]
+        by_dim: dict = {}
+        for i, a in enumerate(arrs):
+            if a is not None and len(a) > 0:
+                by_dim.setdefault(len(a), []).append(i)
         weights = (1 << np.arange(n_pl)).astype(np.int64)
-        return pd.Series(bits @ weights)
+        out_vals: list = [None] * len(s)
+        for dim_, idxs in by_dim.items():
+            planes = np.random.RandomState(sd).normal(size=(n_pl, dim_))
+            mat = np.stack([arrs[i] for i in idxs])
+            buckets = ((mat @ planes.T) > 0) @ weights
+            for j, i in enumerate(idxs):
+                out_vals[i] = int(buckets[j])
+        return pd.Series(out_vals, dtype=object)
 
     return df.withColumn(out, bucket_udf(F.col(vec)))
 

@@ -20,6 +20,37 @@ from data_juicer_spark.operators.base import Mapper
 from data_juicer_spark.registry import OPERATORS
 
 
+def _safe_map(series: pd.Series, fn):
+    """Per-sample fault isolation for python-UDF mappers — the
+    reference's skip_op_error wrappers (base_op.py:52-133) drop a sample
+    whose op raised; in a CDC pipeline a silent drop becomes a lake
+    DELETE, so this engine's deviation is keep-the-row-unchanged. One
+    pathological row must never fail the whole task at 100 TB. Failures
+    are not invisible: the first error per Arrow batch is logged to the
+    executor log with the row count affected (a per-row flag column
+    would change every mapper's output schema — deliberate tradeoff)."""
+
+    errors = {"n": 0, "first": None}
+
+    def guarded(v):
+        try:
+            return fn(v)
+        except Exception as exc:  # noqa: BLE001 — isolation is the point
+            errors["n"] += 1
+            if errors["first"] is None:
+                errors["first"] = repr(exc)
+            return v
+
+    out = series.map(guarded)
+    if errors["n"]:
+        import logging
+
+        logging.getLogger("data_juicer_spark.safe_map").warning(
+            "mapper left %d/%d rows unchanged after per-row errors "
+            "(first: %s)", errors["n"], len(series), errors["first"])
+    return out
+
+
 @OPERATORS.register("whitespace_normalization_mapper")
 class WhitespaceNormalizationMapper(Mapper):
     """strip + map unicode whitespace variants to 0x20
@@ -259,7 +290,7 @@ class CleanCopyrightMapper(Mapper):
                 return txt
 
             out = s.copy()
-            out[mask] = s[mask].map(one)
+            out[mask] = _safe_map(s[mask], one)
             return out
 
         return df.withColumn(self.text_key, clean(F.col(self.text_key)))
@@ -348,7 +379,7 @@ class FixUnicodeMapper(Mapper):
                     t = repaired
                 return unicodedata.normalize(form, t)
 
-            return s.map(one)
+            return _safe_map(s, one)
 
         return df.withColumn(self.text_key, fix(F.col(self.text_key)))
 
@@ -391,7 +422,7 @@ class RemoveRepeatSentencesMapper(Mapper):
                     out.append(" ".join(kept) if kept else "")
                 return "\n".join(out)
 
-            return s.map(one)
+            return _safe_map(s, one)
 
         return df.withColumn(self.text_key, dedup_sents(F.col(self.text_key)))
 
@@ -478,14 +509,19 @@ class ExpandMacroMapper(Mapper):
                 for reg in (nc_re, def_re):
                     for m in reg.finditer(txt):
                         name = m.group(1).encode("unicode-escape").decode("utf-8")
-                        val = m.group(2).encode("unicode-escape").decode("utf-8")
-                        macros[name] = val
+                        macros[name] = m.group(2)
                 for name, val in macros.items():
-                    txt = re.sub(r"(" + name + r")([^a-zA-Z0-9])",
-                                 val + r"\2", txt)
+                    # function replacement (not a template): identical to
+                    # the reference's escaped-template semantics for the
+                    # backslash case, and immune to re's 'bad escape \\x'
+                    # on non-ASCII macro bodies (the reference's template
+                    # path crashes there)
+                    txt = re.sub(
+                        r"(" + name + r")([^a-zA-Z0-9])",
+                        lambda m, v=val: v + m.group(2), txt)
                 return txt
 
-            return s.map(one)
+            return _safe_map(s, one)
 
         return df.withColumn(self.text_key, expand(F.col(self.text_key)))
 

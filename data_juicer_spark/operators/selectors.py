@@ -107,7 +107,11 @@ class RangeSpecifiedFieldSelector(Selector):
         col = _resolve(self.field_key)
         cnts = df.groupBy(col.alias("__v__")).agg(F.count(F.lit(1)).alias("__w__"))
         cum, n = exclusive_prefix_sum(cnts, "__v__", "__w__", out="__below__")
-        joined = df.join(cum.select("__v__", "__below__"), col == F.col("__v__"))
+        # null-SAFE equi-join: a null field value is its own rank group
+        # (sorts first, like SQL percent_rank's NULLS FIRST), not a
+        # silently dropped row
+        joined = df.join(cum.select("__v__", "__below__"),
+                         col.eqNullSafe(F.col("__v__")))
         if self.id_key:
             w = Window.partitionBy(col).orderBy(F.col(self.id_key).asc())
             idx = F.col("__below__") + F.row_number().over(w) - 1

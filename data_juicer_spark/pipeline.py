@@ -43,7 +43,7 @@ class Pipeline:
         so 'kept rows' and 'rows demoted to deletes' come out of ONE
         lineage with no anti-join (one shuffle less per micro-batch)."""
         from data_juicer_spark.operators.base import (
-            Deduplicator, Filter, Selector,
+            Aggregator, Deduplicator, Filter, Grouper, Selector,
         )
 
         self.observations = {}
@@ -59,12 +59,12 @@ class Pipeline:
                 df = op.compute_stats(df)
                 df = df.withColumn(flag_col, F.col(flag_col) & op.keep_expr(df))
             elif filter_mode == "flag" and isinstance(
-                    op, (Filter, Deduplicator, Selector)):
-                # a row-DROPPING op in flag mode would silently swallow
-                # rows (incl. op='D' delete events) instead of demoting
-                # them to lake deletes — refuse loudly rather than
-                # corrupt CDC state (replayer invariant: filtered files
-                # must become table deletes)
+                    op, (Filter, Deduplicator, Selector, Grouper, Aggregator)):
+                # an op that drops OR reshapes rows in flag mode would
+                # silently swallow rows (incl. op='D' delete events)
+                # instead of demoting them to lake deletes — refuse
+                # loudly rather than corrupt CDC state (replayer
+                # invariant: every input key surfaces kept-or-deleted)
                 raise ValueError(
                     f"operator '{op.name}' cannot run in filter_mode="
                     f"'flag': it drops rows via apply() and does not "

@@ -101,6 +101,14 @@ def write_webdataset(df: DataFrame, out_dir: str, columns: Dict[str, str],
             if tf is None:
                 tf = tarfile.open(shard, "w")
             for _, row in pdf.iterrows():
+                if "." in str(row[key_col]):
+                    # the webdataset member-name convention splits at the
+                    # FIRST dot, so a dotted key would silently vanish or
+                    # collide on read-back — fail fast instead
+                    raise ValueError(
+                        f"sample key {row[key_col]!r} contains '.', which "
+                        f"the webdataset naming convention reserves for "
+                        f"extensions")
                 for ext in exts:
                     v = row[_col_name(ext)]
                     if v is None:

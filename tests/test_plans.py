@@ -140,3 +140,37 @@ def test_embd_similarity_filter(spark):
         centroid=[1.0, 0.0], min_score=0.5)
     kept = sorted(r["vec_id"] for r in op.apply(df).collect())
     assert kept == [0, 2]
+
+
+def test_range_selector_null_values_rank_first(spark):
+    """Null field values are their own rank group (NULLS FIRST), not
+    silently dropped by the prefix-sum join."""
+    rows = [(i, v) for i, v in enumerate([None, None, 1, 2, 3, 4, 5, 6, 7, 8])]
+    df = spark.createDataFrame(rows, "doc_id long, x long")
+    op = OPERATORS.get("range_specified_field_selector")(
+        field_key="x", lower_percentile=0.0, upper_percentile=0.5,
+        id_key="doc_id")
+    got = sorted(r["doc_id"] for r in op.apply(df).collect())
+    # percent_rank over (x NULLS FIRST, doc_id): idx/9 <= 0.5 → idx 0..4
+    assert got == [0, 1, 2, 3, 4]
+
+
+def test_hyperplane_signatures_tolerate_null_vectors(spark):
+    from data_juicer_spark.functions.similarity import hyperplane_signatures
+
+    rows = [(0, [1.0, 2.0]), (1, None), (2, [3.0, 4.0]), (3, [1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["lsh_bucket"]
+           for r in hyperplane_signatures(df, "embedding", n_planes=4).collect()}
+    assert out[1] is None  # null vector → null bucket, no crash
+    # ragged lengths bucket under their own per-length plane set
+    assert out[0] is not None and out[2] is not None and out[3] is not None
+    # and cross-length candidate pairs are neutralized by NULL cosine
+    from data_juicer_spark.functions.similarity import cosine
+    from pyspark.sql import functions as F2
+
+    c = (df.where("vec_id = 0").crossJoin(
+            df.where("vec_id = 3").selectExpr("embedding as e2"))
+         .select(cosine(F2.col("embedding"), F2.col("e2")).alias("c"))
+         .collect()[0]["c"])
+    assert c is None

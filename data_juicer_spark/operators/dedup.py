@@ -128,17 +128,21 @@ class DocumentDeduplicator(Deduplicator):
     first row scanned; we key 'first' on the explicit order column)."""
 
     def __init__(self, lowercase: bool = False, ignore_non_character: bool = False,
-                 id_key: Optional[str] = None, **kw):
+                 id_key: Optional[str] = None, hash_method: str = "md5", **kw):
         super().__init__(**kw)
+        if hash_method not in ("md5", "sha1", "sha256"):
+            raise ValueError(f"unsupported hash_method {hash_method!r}")
         self.lowercase = lowercase
         self.ignore_non_character = ignore_non_character
         self.id_key = id_key
+        self.hash_method = hash_method
 
     def hash_expr(self):
         # reference parity (document_deduplicator.py:43-66): optional
         # lowercase; ignore_non_character strips \s+|\d+|[ASCII punct]
         # (keeps all Unicode letters); the text is always strip()ped
-        # before hashing.
+        # before hashing. hash_method md5/sha1/sha256 mirrors
+        # ray_document_deduplicator's method param.
         c = F.col(self.text_key)
         if self.lowercase:
             c = F.lower(c)
@@ -149,6 +153,10 @@ class DocumentDeduplicator(Deduplicator):
             pat = r"\s+|\d+|[" + _re.escape(_string.punctuation) + "]"
             c = F.regexp_replace(c, pat, "")
         c = F.regexp_replace(c, r"^\s+|\s+$", "")
+        if self.hash_method == "sha1":
+            return F.sha1(c)
+        if self.hash_method == "sha256":
+            return F.sha2(c, 256)
         return F.md5(c)
 
     def apply(self, df: DataFrame) -> DataFrame:

@@ -104,7 +104,17 @@ class DatasetBuilder:
 class Exporter:
     @staticmethod
     def export(df: DataFrame, path: str, fmt: str = "parquet",
-               num_shards: Optional[int] = None, mode: str = "overwrite"):
+               num_shards: Optional[int] = None, mode: str = "overwrite",
+               wds_columns: Optional[dict] = None, key_col: str = "sample_key"):
+        if fmt == "webdataset":
+            from data_juicer_spark.sources.webdataset import write_webdataset
+
+            if not wds_columns:
+                raise ValueError("webdataset export needs wds_columns="
+                                 "{ext: 'string'|'binary'}")
+            write_webdataset(df, path, wds_columns, key_col=key_col,
+                             num_shards=num_shards)
+            return
         if num_shards:
             df = df.repartition(num_shards)
         writer = df.write.mode(mode)

@@ -110,3 +110,13 @@ def test_connected_components_chain(spark):
     )
     comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_exact_dedup_hash_methods(spark):
+    """hash_method md5/sha1/sha256 (ray_document_deduplicator parity) —
+    identical keep decisions, different hash spaces."""
+    df = make_df(spark, ["same text", "same text", "other"])
+    for method in ("md5", "sha1", "sha256"):
+        op = OPERATORS.get("document_deduplicator")(
+            id_key="id", hash_method=method)
+        assert kept(op.apply(df)) == [0, 2], method

@@ -782,6 +782,14 @@ def _q_mapper_remove_repeat_sentences(spark, sf_dir):
     return op.apply(df).select("doc_id", "text")
 
 
+def _q_mapper_chinese_convert(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    df = _aug(_t(spark, sf_dir, "documents"), F.lit(" 汉语学习电脑问题龙马"))
+    op = OPERATORS.get("chinese_convert_mapper")(mode="s2t", text_key="text")
+    return op.apply(df).select("doc_id", "text")
+
+
 def _q_analyzer_correlation(spark, sf_dir):
     """Pairwise Pearson correlation of filter stats (CorrelationAnalysis
     mirror) — one distributed agg pass, oracled by DuckDB corr()."""
@@ -888,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_stopwords_multilang": _q_filter_stopwords_multilang,
         "filter_words_num_bpe": _q_filter_words_num_bpe,
         "analyzer_correlation": _q_analyzer_correlation,
+        "mapper_chinese_convert": _q_mapper_chinese_convert,
     }
 
 
@@ -951,6 +960,15 @@ def _common_bigrams_sql() -> str:
     from data_juicer_spark.operators.filters import PerplexityFilter
 
     return "[" + ", ".join(f"'{b}'" for b in sorted(PerplexityFilter._COMMON)) + "]"
+
+
+def _zh_convert_sql(col: str) -> str:
+    """translate() over the SAME in-repo s2t table the mapper uses."""
+    from data_juicer_spark.assets.zh_convert import S2T
+
+    src = _sql_quote("".join(S2T.keys()))
+    dst = _sql_quote("".join(S2T.values()))
+    return f"translate({col}, '{src}', '{dst}')"
 
 
 def _punct_norm_sql(col: str) -> str:
@@ -1629,6 +1647,11 @@ def oracle_sql() -> dict[str, str]:
                        AS num_words
               FROM documents
             ) WHERE num_words BETWEEN 30 AND 120
+        """,
+        "mapper_chinese_convert": f"""
+            SELECT doc_id,
+                   {_zh_convert_sql("text || ' 汉语学习电脑问题龙马'")} AS text
+            FROM documents
         """,
         "analyzer_correlation": f"""
             WITH s AS (

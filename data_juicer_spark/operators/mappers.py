@@ -547,6 +547,29 @@ class RemoveNonChineseCharacterMapper(Mapper):
         return F.regexp_replace(col, self.pattern, "")
 
 
+@OPERATORS.register("chinese_convert_mapper")
+class ChineseConvertMapper(Mapper):
+    """simplified↔traditional conversion (chinese_convert_mapper.py:39-109
+    wraps opencc). Hermetic partial implementation: a compact in-repo
+    one-to-one character table (assets/zh_convert.py) applied with ONE
+    JVM translate() — whole-stage codegen, no Python. mode ∈ {s2t, t2s};
+    opencc's phrase-level and regional configs (s2twp, …) are documented
+    non-goals; unmapped characters pass through."""
+
+    def __init__(self, mode: str = "s2t", **kw):
+        super().__init__(**kw)
+        from data_juicer_spark.assets.zh_convert import S2T, T2S
+
+        if mode not in ("s2t", "t2s"):
+            raise ValueError(f"unsupported mode {mode!r} (s2t|t2s)")
+        self.table = S2T if mode == "s2t" else T2S
+
+    def expr(self, col: Column) -> Column:
+        src = "".join(self.table.keys())
+        dst = "".join(self.table.values())
+        return F.translate(col, src, dst)
+
+
 @OPERATORS.register("python_lambda_mapper")
 class PythonLambdaMapper(Mapper):
     """user-supplied vectorized lambda over the text column — the UDF

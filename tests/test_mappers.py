@@ -169,3 +169,11 @@ def test_fix_unicode_mojibake_off(spark):
     bad = "Caf\u00e9".encode("utf-8").decode("latin-1")
     out = run_mapper(spark, "fix_unicode_mapper", [bad], fix_mojibake=False)
     assert out == [bad]  # repair disabled: NFC only
+
+
+def test_chinese_convert(spark):
+    assert run_mapper(spark, "chinese_convert_mapper",
+                      ["汉语学习电脑问题", "plain ascii"], mode="s2t") == \
+        ["漢語學習電腦問題", "plain ascii"]
+    assert run_mapper(spark, "chinese_convert_mapper",
+                      ["漢語學習"], mode="t2s") == ["汉语学习"]

@@ -174,3 +174,21 @@ def test_hyperplane_signatures_tolerate_null_vectors(spark):
          .select(cosine(F2.col("embedding"), F2.col("e2")).alias("c"))
          .collect()[0]["c"])
     assert c is None
+
+
+def test_prefix_sum_survives_small_arrow_batches(spark):
+    """One partition arriving as MANY Arrow batches must carry the
+    running sum across batches (mapInPandas batch-boundary guard)."""
+    from data_juicer_spark.functions.ranks import exclusive_prefix_sum
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        df = spark.createDataFrame(
+            [(v, 2) for v in range(500)], "v long, w long")
+        ranked, total = exclusive_prefix_sum(df, "v", "w", num_partitions=4)
+        got = {r["v"]: r["cum_before"] for r in ranked.collect()}
+        assert total == 1000
+        assert got == {v: 2 * v for v in range(500)}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)

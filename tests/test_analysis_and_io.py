@@ -201,3 +201,62 @@ def test_webdataset_roundtrip(spark, tmpd):
                            {"txt": "string", "bin": "binary"})
     got = {r["sample_key"]: r["txt"] for r in back.collect()}
     assert got == {"s1": "hello", "s2": "world", "s3": "solo"}
+
+
+def test_dj_process_cli_roundtrip(spark, tmpd):
+    """dj-process mirror: YAML recipe → load → pipeline → export, with
+    per-op row counts (the reference's main lifecycle, SURVEY §3.1)."""
+    import json
+    import os
+    import sys
+
+    import yaml
+
+    sys.path.insert(0, "/root/repo/tools")
+    import dj_process
+
+    cfg = {
+        "dataset_path": "/root/testdata/sf0.001/documents.parquet",
+        "export_path": os.path.join(tmpd, "out"),
+        "export_format": "parquet",
+        "text_key": "text",
+        "process": [
+            {"whitespace_normalization_mapper": {}},
+            {"text_length_filter": {"min_len": 100, "max_len": 10**9}},
+        ],
+    }
+    cfg_path = os.path.join(tmpd, "recipe.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    res = dj_process.run(cfg_path, op_stats=True)
+    assert res["ops"] == 2
+    out = spark.read.parquet(cfg["export_path"])
+    exp = spark.read.parquet(cfg["dataset_path"]) \
+        .where("length(text) >= 100").count()
+    assert out.count() == exp
+    stats = res["op_stats"]
+    assert stats["zz_out"] == exp  # observe() counts rode the write
+
+
+def test_dj_analyze_cli(spark, tmpd):
+    import sys
+
+    import yaml
+
+    sys.path.insert(0, "/root/repo/tools")
+    import dj_analyze
+
+    cfg = {
+        "dataset_path": "/root/testdata/sf0.001/documents.parquet",
+        "process": [
+            {"text_length_filter": {"text_key": "text"}},
+            {"words_num_filter": {"text_key": "text"}},
+        ],
+    }
+    import os
+    cfg_path = os.path.join(tmpd, "an.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    res = dj_analyze.run(cfg_path, out_dir=os.path.join(tmpd, "an_out"))
+    assert set(res["stats"]) == {"text_len", "num_words"}
+    assert res["n_correlations"] == 1

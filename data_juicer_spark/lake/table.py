@@ -494,11 +494,11 @@ class SnapshotTable:
         Implementation: snapshot diff (full outer join of the two
         retained states on the key, value comparison via a row hash).
         Correct for COW and MOR alike, after compaction, and across any
-        epoch span; cost is O(state at the two epochs), bucket-aligned
-        on both sides so the join is co-partitioned. (When only the MOR
-        deltas for the span are needed, the per-epoch lineage in
-        CdcReplayer already exposes them O(batch) — this reader is the
-        general any-span path.)"""
+        epoch span; cost is O(state at the two epochs) — one hash
+        shuffle per side onto the shared key. (When only the MOR deltas
+        for the span are needed, the per-epoch lineage in CdcReplayer
+        already exposes them O(batch) — this reader is the general
+        any-span path.)"""
         new_snap = (self.current_snapshot() if to_epoch is None
                     else self.snapshot_at_epoch(to_epoch))
         if new_snap is None:

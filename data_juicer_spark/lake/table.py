@@ -49,6 +49,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer advanced the table pointer between this commit's
+    snapshot read and its pointer swap (optimistic concurrency loss)."""
+
+
 class SnapshotTable:
     """strategy:
       - 'cow' (copy-on-write): each MERGE rewrites the buckets containing
@@ -127,14 +132,48 @@ class SnapshotTable:
         return None
 
     def _commit(self, manifest: dict) -> dict:
+        """Optimistic-concurrency commit (Iceberg's protocol shape):
+        write the immutable manifest, then swap the pointer UNDER a
+        compare-and-set — the swap only goes through if the live pointer
+        still equals this manifest's parent. A racing writer that lost
+        gets ConcurrentCommitError (retry against the new current) instead
+        of silently orphaning the winner's snapshot. The critical section
+        is an O_EXCL lockfile around read-check-replace; the replace
+        itself stays a single atomic rename, so a crash anywhere leaves
+        the previous snapshot intact."""
         snap_id = manifest["snapshot_id"]
         path = f"{self.root}/metadata/snap-{snap_id}.json"
         with open(path, "w") as f:
             json.dump(manifest, f, indent=1)
-        tmp = f"{self._pointer()}.tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            f.write(snap_id)
-        os.replace(tmp, self._pointer())  # atomic pointer swap
+        lock = f"{self._pointer()}.lock"
+        deadline = time.time() + 30.0
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                if time.time() > deadline:
+                    raise TimeoutError(f"commit lock stuck: {lock}")
+                time.sleep(0.05)
+        try:
+            try:
+                with open(self._pointer()) as f:
+                    live = f.read().strip()
+            except FileNotFoundError:
+                live = None
+            if live != manifest.get("parent"):
+                os.remove(path)  # orphaned manifest of the losing writer
+                raise ConcurrentCommitError(
+                    f"snapshot {snap_id} expected parent "
+                    f"{manifest.get('parent')!r} but current is {live!r} — "
+                    f"another writer committed first; re-read and retry")
+            tmp = f"{self._pointer()}.tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                f.write(snap_id)
+            os.replace(tmp, self._pointer())  # atomic pointer swap
+        finally:
+            os.close(fd)
+            os.remove(lock)
         return manifest
 
     # -- read --------------------------------------------------------------

@@ -400,3 +400,25 @@ def test_expire_snapshots_keeps_current_state(spark, tmp_root):
         with pytest.raises(ValueError, match="expired"):
             table.read(at_epoch=oldest - 1)
     events.unpersist()
+
+
+def test_concurrent_commit_raises_not_clobbers(spark, tmp_root):
+    """Optimistic concurrency: a writer whose manifest is based on a
+    stale parent must get ConcurrentCommitError, not silently overwrite
+    the winner's pointer."""
+    from data_juicer_spark.lake.table import ConcurrentCommitError
+
+    events = make_events(spark, 1000, 500).persist()
+    table = SnapshotTable(spark, tmp_root, ["repo", "path"],
+                          num_buckets=4, strategy="mor")
+    CdcReplayer(table).replay(events)
+    cur = table.current_snapshot()
+    stale = dict(cur, snapshot_id="stale-123",
+                 parent="not-the-current-snapshot")
+    with pytest.raises(ConcurrentCommitError):
+        table._commit(stale)
+    # winner's state untouched; the loser's manifest was cleaned up
+    assert table.current_snapshot()["snapshot_id"] == cur["snapshot_id"]
+    import os
+    assert not os.path.exists(f"{tmp_root}/metadata/snap-stale-123.json")
+    events.unpersist()

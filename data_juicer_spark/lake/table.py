@@ -498,7 +498,9 @@ class SnapshotTable:
             (
                 delete_keys.select(*self.key_cols).distinct()
                 .withColumn("__bucket__", self._bucket_expr())
-                .repartition(1)
+                # bucket-partitioned like the upsert side: a large delete
+                # set must not funnel through one task
+                .repartition(min(self.num_buckets, 64), "__bucket__")
                 .write.partitionBy("__bucket__").mode("overwrite").parquet(dl_dir)
             )
             delta["delete_buckets"] = {

@@ -152,6 +152,16 @@ class SnapshotTable:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 break
             except FileExistsError:
+                # staleness recovery: a writer killed inside the critical
+                # section must not brick the table forever — a lock older
+                # than the stale horizon is reaped (the O_EXCL retry loop
+                # arbitrates racing reapers)
+                try:
+                    if time.time() - os.path.getmtime(lock) > 60.0:
+                        os.remove(lock)
+                        continue
+                except FileNotFoundError:
+                    continue
                 if time.time() > deadline:
                     raise TimeoutError(f"commit lock stuck: {lock}")
                 time.sleep(0.05)
@@ -471,9 +481,21 @@ class SnapshotTable:
             "operation": "merge-mor",
         }
         committed = self._commit(manifest)
-        if len(committed["deltas"]) >= self.compact_every:
-            committed = self._compact(committed, epoch=epoch)
+        committed = self._maybe_compact(committed, epoch)
         return committed
+
+    def _maybe_compact(self, committed: dict, epoch: int) -> dict:
+        """Opportunistic post-commit compaction. The merge itself is
+        already durable — if a concurrent writer wins the compaction's
+        CAS, that is NOT a batch failure (a retry would just hit the
+        epoch fence), so the race is swallowed and the committed
+        manifest returned; the next writer's threshold check compacts."""
+        if len(committed.get("deltas", [])) < self.compact_every:
+            return committed
+        try:
+            return self._compact(committed, epoch=epoch)
+        except ConcurrentCommitError:
+            return committed
 
     def _merge_mor(self, cur: dict, upserts: Optional[DataFrame],
                    delete_keys: Optional[DataFrame], epoch: int) -> dict:
@@ -518,9 +540,7 @@ class SnapshotTable:
             "operation": "merge-mor",
         }
         committed = self._commit(manifest)
-        if len(committed["deltas"]) >= self.compact_every:
-            committed = self._compact(committed, epoch=epoch)
-        return committed
+        return self._maybe_compact(committed, epoch)
 
     # -- CDC-out: changelog between epochs ----------------------------------
 

@@ -107,11 +107,20 @@ class Exporter:
                num_shards: Optional[int] = None, mode: str = "overwrite",
                wds_columns: Optional[dict] = None, key_col: str = "sample_key"):
         if fmt == "webdataset":
+            import os as _os
+            import shutil as _shutil
+
             from data_juicer_spark.sources.webdataset import write_webdataset
 
             if not wds_columns:
                 raise ValueError("webdataset export needs wds_columns="
                                  "{ext: 'string'|'binary'}")
+            if _os.path.isdir(path):
+                if mode == "overwrite":
+                    _shutil.rmtree(path)  # stale shards must not survive
+                elif mode != "append":
+                    raise ValueError(
+                        f"webdataset target {path!r} exists (mode={mode!r})")
             write_webdataset(df, path, wds_columns, key_col=key_col,
                              num_shards=num_shards)
             return

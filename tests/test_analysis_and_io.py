@@ -231,8 +231,10 @@ def test_dj_process_cli_roundtrip(spark, tmpd):
     res = dj_process.run(cfg_path, op_stats=True)
     assert res["ops"] == 2
     out = spark.read.parquet(cfg["export_path"])
+    # oracle mirrors the pipeline: the whitespace mapper trims first and
+    # maps whitespace 1:1, so post-pipeline length == length(trim(text))
     exp = spark.read.parquet(cfg["dataset_path"]) \
-        .where("length(text) >= 100").count()
+        .where("length(trim(text)) >= 100").count()
     assert out.count() == exp
     stats = res["op_stats"]
     assert stats["zz_out"] == exp  # observe() counts rode the write

@@ -28,12 +28,14 @@ def run(config_path: str, out_dir: str | None = None,
 
     with open(config_path) as f:
         cfg = yaml.safe_load(f)
-    spark = get_spark(parallelism=parallelism or os.cpu_count() or 4,
-                      app_name="dj-analyze")
+    spark = get_spark(parallelism=parallelism, app_name="dj-analyze")
     builder = DatasetBuilder(spark)
-    dp = cfg["dataset_path"]
-    df = builder.load([dp] if isinstance(dp, str) else dp,
-                      max_sample_num=cfg.get("max_sample_num"))
+    if cfg.get("datapath"):
+        configs = builder.parse_cli_datapath(cfg["datapath"])
+    else:
+        dp = cfg["dataset_path"]
+        configs = [dp] if isinstance(dp, str) else dp
+    df = builder.load(configs, max_sample_num=cfg.get("max_sample_num"))
     an = Analyzer(cfg.get("process", []))
     overall = an.overall(df)
     corr = an.correlation(df)

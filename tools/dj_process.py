@@ -40,13 +40,18 @@ def run(config_path: str, op_stats: bool = False,
     with open(config_path) as f:
         cfg = yaml.safe_load(f)
 
-    spark = get_spark(parallelism=parallelism or os.cpu_count() or 4,
-                      app_name="dj-process")
+    # parallelism=None lets get_spark resolve $SPARK_GRAFT_CPUS and reuse
+    # an active session — don't pre-empt its default chain
+    spark = get_spark(parallelism=parallelism, app_name="dj-process")
     builder = DatasetBuilder(spark)
-    datapath = cfg["dataset_path"]
-    configs = (builder.parse_cli_datapath(datapath)
-               if isinstance(datapath, str) and " " in datapath
-               else [datapath] if isinstance(datapath, str) else datapath)
+    # `dataset_path`: one path or a list of path/config dicts (paths may
+    # contain spaces); `datapath`: the reference's CLI grammar string
+    # ("w1 ds1.jsonl w2 ds2_dir") — explicit key, no space heuristics
+    if cfg.get("datapath"):
+        configs = builder.parse_cli_datapath(cfg["datapath"])
+    else:
+        dp = cfg["dataset_path"]
+        configs = [dp] if isinstance(dp, str) else dp
     df = builder.load(configs, max_sample_num=cfg.get("max_sample_num"))
 
     process = cfg.get("process", [])

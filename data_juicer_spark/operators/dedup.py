@@ -297,6 +297,10 @@ class DocumentMinhashDeduplicator(Deduplicator):
             F.col(order_col).alias("__uid__"),
             mh(F.col(self.text_key)).alias("__minhash__"),
         ).where(F.col("__minhash__").isNotNull())
+        # signatures feed BOTH the bucket-minima agg and the join probe
+        # below: a lazy localCheckpoint materializes the (n × num_perm)
+        # signature table once instead of running the UDF pass twice
+        sig = sig.localCheckpoint(eager=False)
         bands = sig.select(
             "__uid__",
             F.explode(
@@ -307,14 +311,21 @@ class DocumentMinhashDeduplicator(Deduplicator):
                 )
             ).alias("band"),
         ).select("__uid__", "band.band_id", F.col("band.band_sig").cast("array<long>").alias("band_sig"))
-        buckets = bands.groupBy("band_id", "band_sig").agg(
-            F.min("__uid__").alias("dst"), F.collect_list("__uid__").alias("members"),
-            F.count("*").alias("n"),
+        # bucket minima via a fully map-side-combinable agg (min/count —
+        # the shuffle carries one partial row per (task, bucket), not a
+        # collect_list of every uid), then join the band rows back to the
+        # (small: only buckets with n>1) minima — AQE broadcasts it when
+        # tiny, falls back to a shuffle join when duplicates are massive
+        mins = (
+            bands.groupBy("band_id", "band_sig")
+            .agg(F.min("__uid__").alias("dst"), F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > 1)
+            .drop("n")
         )
         return (
-            buckets.where(F.col("n") > 1)
-            .select(F.explode("members").alias("src"), "dst")
-            .where(F.col("src") != F.col("dst"))
+            bands.join(mins, ["band_id", "band_sig"])
+            .where(F.col("__uid__") != F.col("dst"))
+            .select(F.col("__uid__").alias("src"), "dst")
             .distinct()
         )
 

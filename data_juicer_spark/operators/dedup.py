@@ -90,6 +90,10 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     """
     sym = edges.selectExpr(f"{src} as a", f"{dst} as b").where("a <> b")
     sym = sym.union(sym.selectExpr("b as a", "a as b")).distinct()
+    # materialize the (small: LSH candidate) edge set once — every round
+    # joins against it, and the rounds must not re-resolve the whole
+    # upstream signature/banding lineage
+    sym = sym.localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()

@@ -790,6 +790,21 @@ def _q_mapper_chinese_convert(spark, sf_dir):
     return op.apply(df).select("doc_id", "text")
 
 
+def _q_filter_pair_similarity(spark, sf_dir):
+    from data_juicer_spark.registry import OPERATORS
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    nxt = emb.select((F.col("vec_id") - 1).alias("vec_id"),
+                     F.col("embedding").alias("embedding2"))
+    pairs = emb.join(nxt, "vec_id")
+    op = OPERATORS.get("text_pair_similarity_filter")(
+        first_key="embedding", second_key="embedding2",
+        min_score=0.0, max_score=1.0)
+    return op.apply(pairs).select(
+        "vec_id", F.col("stats.pair_sim").alias("pair_sim"))
+
+
 def _q_analyzer_correlation(spark, sf_dir):
     """Pairwise Pearson correlation of filter stats (CorrelationAnalysis
     mirror) — one distributed agg pass, oracled by DuckDB corr()."""
@@ -897,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_words_num_bpe": _q_filter_words_num_bpe,
         "analyzer_correlation": _q_analyzer_correlation,
         "mapper_chinese_convert": _q_mapper_chinese_convert,
+        "filter_pair_similarity": _q_filter_pair_similarity,
     }
 
 
@@ -1647,6 +1663,17 @@ def oracle_sql() -> dict[str, str]:
                        AS num_words
               FROM documents
             ) WHERE num_words BETWEEN 30 AND 120
+        """,
+        "filter_pair_similarity": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id,
+                   round(list_dot_product(a.v, b.v) /
+                         (sqrt(list_dot_product(a.v, a.v)) *
+                          sqrt(list_dot_product(b.v, b.v))), 6) AS pair_sim
+            FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+            WHERE list_dot_product(a.v, b.v) /
+                  (sqrt(list_dot_product(a.v, a.v)) *
+                   sqrt(list_dot_product(b.v, b.v))) BETWEEN 0.0 AND 1.0
         """,
         "mapper_chinese_convert": f"""
             SELECT doc_id,

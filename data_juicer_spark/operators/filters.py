@@ -491,6 +491,35 @@ class TextQualityScoreFilter(_RangeFilter):
         )
 
 
+@OPERATORS.register("text_pair_similarity_filter")
+class TextPairSimilarityFilter(Filter):
+    """Keep rows where the cosine similarity between a PAIR of embedding
+    columns is in range (text_pair_similarity_filter shape: the
+    reference embeds `text` and `target_text` with a HF model and
+    compares; hermetic version compares two provided embedding columns —
+    the model step is a serving dep, the similarity contract is this).
+    Pure higher-order-function dot product, NULL-safe (try_divide)."""
+
+    def __init__(self, first_key: str = "embedding",
+                 second_key: str = "embedding2",
+                 min_score: float = 0.1, max_score: float = 1.0, **kw):
+        super().__init__(**kw)
+        self.first_key = first_key
+        self.second_key = second_key
+        self.min_score, self.max_score = min_score, max_score
+
+    def stats_exprs(self, df):
+        from data_juicer_spark.functions.similarity import cosine
+
+        d = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+        return {"pair_sim": F.round(
+            cosine(d(self.first_key), d(self.second_key)), 6)}
+
+    def keep_expr(self, df):
+        return self.keep_between(
+            F.col(f"{STATS_COL}.pair_sim"), self.min_score, self.max_score)
+
+
 @OPERATORS.register("text_embd_similarity_filter")
 class TextEmbdSimilarityFilter(Filter):
     """Keep rows whose embedding's cosine similarity to a reference

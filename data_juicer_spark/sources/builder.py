@@ -33,7 +33,14 @@ class DatasetBuilder:
         self.spark = spark
         self.seed = seed
 
-    def _load_one(self, path: str, fmt: Optional[str] = None) -> DataFrame:
+    def _load_one(self, path: str, fmt: Optional[str] = None,
+                  length: int = 0) -> DataFrame:
+        if fmt == "empty":
+            # EmptyFormatter mirror (format/empty_formatter.py): N rows
+            # with a null text payload, to be filled by generator ops
+            return self.spark.range(length).select(
+                F.col("id").alias("sample_id"),
+                F.lit(None).cast("string").alias("text"))
         fmt = fmt or _FORMAT_BY_EXT.get(path.rsplit(".", 1)[-1].lower(), "parquet")
         reader = self.spark.read
         if fmt == "json":
@@ -61,7 +68,8 @@ class DatasetBuilder:
         for cfg in configs:
             if isinstance(cfg, str):
                 cfg = {"path": cfg}
-            df = self._load_one(cfg["path"], cfg.get("format"))
+            df = self._load_one(cfg.get("path", ""), cfg.get("format"),
+                                length=int(cfg.get("length", 0)))
             w = float(cfg.get("weight", 1.0))
             if w < 1.0:
                 df = df.sample(fraction=w, seed=self.seed)

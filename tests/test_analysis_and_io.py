@@ -262,3 +262,12 @@ def test_dj_analyze_cli(spark, tmpd):
     res = dj_analyze.run(cfg_path, out_dir=os.path.join(tmpd, "an_out"))
     assert set(res["stats"]) == {"text_len", "num_words"}
     assert res["n_correlations"] == 1
+
+
+def test_empty_formatter(spark):
+    from data_juicer_spark.sources.builder import DatasetBuilder
+
+    df = DatasetBuilder(spark).load([{"format": "empty", "length": 7}])
+    assert df.count() == 7
+    assert df.columns == ["sample_id", "text"]
+    assert all(r["text"] is None for r in df.collect())

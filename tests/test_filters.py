@@ -159,3 +159,17 @@ def test_stats_struct_accumulates(spark):
     row = out.where(F.col("id") == 0).collect()[0]
     assert row["stats"]["text_len"] == 24
     assert row["stats"]["num_words"] == 5
+
+
+def test_text_pair_similarity_filter(spark):
+    rows = [(0, [1.0, 0.0], [1.0, 0.0]),    # identical -> 1.0
+            (1, [1.0, 0.0], [0.0, 1.0]),    # orthogonal -> 0.0
+            (2, [1.0, 0.0], [-1.0, 0.0]),   # opposite -> -1.0 (dropped)
+            (3, [1.0, 1.0], [1.0, 0.9])]    # close -> ~0.997
+    df = spark.createDataFrame(
+        rows, "id long, embedding array<double>, embedding2 array<double>")
+    from data_juicer_spark.registry import OPERATORS
+
+    op = OPERATORS.get("text_pair_similarity_filter")(min_score=0.5)
+    kept = sorted(r["id"] for r in op.apply(df).collect())
+    assert kept == [0, 3]

@@ -194,15 +194,15 @@ class SnapshotTable:
         ).cast("int")
 
     def _read_dirs(self, dirs: List[str], schema: T.StructType) -> DataFrame:
-        """Scan parquet dirs, null-filling columns added after a referenced
-        file was written (schema evolution without file rewrites)."""
+        """Scan parquet dirs against the MANIFEST schema: the reader
+        null-fills columns missing from older files natively (schema
+        evolution without file rewrites), and skipping schema inference/
+        mergeSchema avoids a footer pass over every file — the manifest,
+        not the files, is the source of truth for the table schema."""
         if not dirs:
             return self.spark.createDataFrame([], schema)
-        df = self.spark.read.option("mergeSchema", "true").parquet(*dirs)
-        for field in schema.fields:
-            if field.name not in df.columns:
-                df = df.withColumn(field.name, F.lit(None).cast(field.dataType))
-        return df.select([f.name for f in schema.fields])
+        return self.spark.read.schema(schema).parquet(*dirs) \
+            .select([f.name for f in schema.fields])
 
     @staticmethod
     def _delta_buckets(snap: dict) -> set:

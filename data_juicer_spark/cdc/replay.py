@@ -17,10 +17,10 @@ Resume-from-checkpoint falls out of the design: the table's current
 epoch IS the checkpoint; a restarted replay skips every epoch <= it.
 
 Skew: the upsert shuffle keys on (repo,path) — path cardinality inside
-a hot repo spreads the hash space, and the in-batch compaction window
-uses (repo,path) too. For the window we pre-repartition by BOTH key
-columns; AQE skew-join handles residual imbalance. The optional
-`salt_buckets` adds an explicit salt for adversarially hot single keys.
+a hot repo spreads the hash space. In-batch compaction is a map-side-
+combinable max_by aggregation, so even a single flooded key collapses
+to one partial row per map task before the shuffle; the optional
+`salt_buckets` adds a two-level reduce on top for adversarial cases.
 """
 
 from __future__ import annotations
@@ -29,7 +29,7 @@ import time
 from dataclasses import dataclass, field
 from typing import List, Optional
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from data_juicer_spark.lake.table import SnapshotTable
@@ -65,18 +65,21 @@ class CdcReplayer:
     # -- batch compaction ---------------------------------------------------
 
     def compact(self, events: DataFrame) -> DataFrame:
-        """Last event per (repo,path) by seq within the batch. Salting:
-        for adversarially hot keys the row_number window would funnel a
-        hot key into one task; we pre-aggregate per (key, salt) then
-        reduce across salts — a two-level max, both map-side combinable."""
+        """Last event per (repo,path) by seq within the batch, as ONE
+        map-side-combinable max_by aggregation: each map task reduces
+        every key it sees (including a hot key) to a single partial row
+        BEFORE the shuffle, so shuffled bytes are O(distinct keys per
+        task), not O(events) — the row_number-window formulation this
+        replaces shuffled every event and sorted per partition. The
+        payload struct is built from the event schema, so evolved
+        columns survive. `salt_buckets` adds an explicit two-level
+        reduce for adversarial single-key floods (rarely needed now that
+        partial aggregation already collapses per-task)."""
+        payload = [c for c in events.columns if c not in KEY_COLS]
         if self.salt_buckets > 1:
             salted = events.withColumn(
                 "__salt__", F.pmod(F.col("seq"), F.lit(self.salt_buckets))
             )
-            # payload = every non-key column, so schema evolution (extra
-            # event columns) survives the salted path identically to the
-            # unsalted window path
-            payload = [c for c in events.columns if c not in KEY_COLS]
             level1 = salted.groupBy(*KEY_COLS, "__salt__").agg(
                 F.max_by(F.struct(*payload), "seq").alias("__last__")
             )
@@ -84,11 +87,10 @@ class CdcReplayer:
                 F.max_by("__last__", F.col("__last__.seq")).alias("__last__")
             )
             return level2.select(*KEY_COLS, "__last__.*")
-        w = Window.partitionBy(*KEY_COLS).orderBy(F.col("seq").desc())
         return (
-            events.withColumn("__rn__", F.row_number().over(w))
-            .where(F.col("__rn__") == 1)
-            .drop("__rn__")
+            events.groupBy(*KEY_COLS)
+            .agg(F.max_by(F.struct(*payload), "seq").alias("__last__"))
+            .select(*KEY_COLS, "__last__.*")
         )
 
     # -- one epoch ----------------------------------------------------------

@@ -207,7 +207,7 @@ class DocumentMinhashDeduplicator(Deduplicator):
         window = self.window_size
         tokenization = self.tokenization
         lowercase = self.lowercase
-        ignore_re = re.compile(self.ignore_pattern) if self.ignore_pattern else None
+        ignore_pattern = self.ignore_pattern
         punct_re = re.compile(r"\W")
 
         @pandas_udf(ArrayType(LongType()))
@@ -217,13 +217,30 @@ class DocumentMinhashDeduplicator(Deduplicator):
             # numpy call: rows are packed into slabs of <=8192 shingles,
             # one (slab x num_perm) matrix multiply + minimum.reduceat
             # per slab instead of a tiny matmul per row
+            if ignore_pattern == r"\p{P}":
+                # the reference compiles this with the `regex` module;
+                # python `re` has no \p — strip unicode punctuation
+                # categories explicitly (same character set)
+                import unicodedata
+
+                def strip_ignored(t):
+                    return "".join(
+                        c for c in t
+                        if not unicodedata.category(c).startswith("P"))
+            elif ignore_pattern:
+                ign = re.compile(ignore_pattern)
+
+                def strip_ignored(t):
+                    return ign.sub("", t)
+            else:
+                strip_ignored = None
             row_hashes: list = []
             for text in s:
                 text = text or ""
                 if lowercase:
                     text = text.lower()
-                if ignore_re is not None:
-                    text = ignore_re.sub("", text)
+                if strip_ignored is not None:
+                    text = strip_ignored(text)
                 if tokenization == "character":
                     tokens = {
                         text[i : i + window].encode()

@@ -294,3 +294,25 @@ def test_embedding_mass_duplicates_stay_linear(spark):
     got = spark_kept(op, df, id_col="vec_id")
     assert time.time() - t0 < 120
     assert got[0] == 0 and len(got) <= 11
+
+
+# ---------------------------------------------------------------------------
+# Reference minhash unit-test fixtures: the signature math is bit-parity
+# (RandomState(42) perms, sha1_hash32, optimal_param), so the kept sets
+# must match the reference goldens EXACTLY — the strongest parity claim
+# (tests/ops/deduplicator/test_document_minhash_deduplicator.py)
+# ---------------------------------------------------------------------------
+
+MINHASH_FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures_minhash.json")
+
+
+@pytest.mark.parametrize("case", ["test_english_deduplication",
+                                  "test_chinese_deduplication"])
+def test_minhash_reference_goldens(spark, case):
+    fix = json.load(open(MINHASH_FIXTURE))[case]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(fix["ds_list"])], "id long, text string")
+    op = OPERATORS.get("document_minhash_deduplicator")(
+        id_key="id", **fix["kwargs"])
+    kept_texts = [r["text"] for r in op.apply(df).orderBy("id").collect()]
+    assert kept_texts == fix["tgt_list"]

@@ -759,15 +759,19 @@ def _q_filter_language_id(spark, sf_dir):
 
 
 def _q_mapper_clean_copyright(spark, sf_dir):
+    """Even doc_ids exercise the /*block*/ path (strip-if-copyright and
+    RETURN); odd ids exercise the unconditional leading-comment strip."""
     from data_juicer_spark.registry import OPERATORS
 
+    with_block = F.concat(
+        F.lit("// header stays on the block path\nreal: "), F.col("text"),
+        F.lit(" /* block with copyright inside */ tail"))
+    with_header = F.concat(
+        F.lit("// some banner\n-- another line\n\nreal: "), F.col("text"))
     df = _t(spark, sf_dir, "documents").select(
         "doc_id",
-        F.concat(
-            F.lit("// copyright Acme Corp\n-- copyright second line\nreal: "),
-            F.col("text"),
-            F.lit(" /* block with copyright inside */ tail"),
-        ).alias("text"),
+        F.when(F.col("doc_id") % 2 == 0, with_block)
+        .otherwise(with_header).alias("text"),
     )
     op = OPERATORS.get("clean_copyright_mapper")(text_key="text")
     return op.apply(df).select("doc_id", "text")
@@ -952,6 +956,15 @@ def _special_char_class() -> str:
     return "".join(f"\\x{{{ord(c):x}}}" for c in sorted(SPECIAL_CHARACTERS))
 
 
+def _word_strip_class() -> str:
+    """RE2 class mirroring RemoveLongWordsMapper's edge-strip set:
+    SPECIAL_CHARACTERS plus the emoji blocks."""
+    from data_juicer_spark.functions.text import SPECIAL_CHARACTERS
+
+    return "".join(f"\\x{{{ord(c):x}}}" for c in sorted(SPECIAL_CHARACTERS)) + (
+        r"\x{FE0F}\x{2600}-\x{27BF}\x{1F000}-\x{1FAFF}\x{1F1E6}-\x{1F1FF}")
+
+
 def _word_edge_class() -> str:
     """RE2 class of SPECIAL_CHARACTERS minus whitespace — the word-edge
     strip set WordRepetitionFilter uses."""
@@ -1018,10 +1031,10 @@ def _clean_html_sql(col: str) -> str:
     for src, dst in (("<li>", "\n*"), ("</li>", ""), ("<ol>", "\n*"),
                      ("</ol>", "")):
         out = f"replace({out}, {_sql_str(src)}, {_sql_str(dst)})"
-    out = f"regexp_replace({out}, '<[^>]+>', '', 'g')"
+    out = f"regexp_replace({out}, '(?s)</[^>]*>|<[a-zA-Z!][^>]*>', '', 'g')"
     for src, dst in CleanHtmlMapper.ENTITIES:
         out = f"replace({out}, {_sql_str(src)}, {_sql_str(dst)})"
-    return out
+    return f"regexp_replace({out}, '^\\s+', '')"
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -1067,20 +1080,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE n_chars > 200 AND lang = 'en'
         """,
+        # reference's Gruber-style URL pattern; (?i) only — the engine's
+        # extra (?U) is Java's unicode-\w flag ((?U) means "ungreedy" in
+        # RE2!), irrelevant on this ASCII corpus
         "mapper_clean_links": r"""
             SELECT doc_id,
-                   regexp_replace(regexp_replace(text,
-                     '(?i)\b(?:https?|ftp)://[-A-Za-z0-9+&@#/%?=~_|!:,.;]*[-A-Za-z0-9+&@#/%=~_|]',
-                     '', 'g'),
-                     'www\.[-A-Za-z0-9+&@#/%?=~_|!:,.;]*[-A-Za-z0-9+&@#/%=~_|]', '', 'g')
-                   AS text
+                   regexp_replace(text,
+                     '(?i)\b((?:[a-z][\w-]+:(?:\/{1,3}|[a-z0-9%])|www\d{0,3}[.]|[a-z0-9.\-]+[.][a-z]{2,4}\/)(?:[^\s()<>]+|\(([^\s()<>]+|(\([^\s()<>]+\)))*\))+(?:\(([^\s()<>]+|(\([^\s()<>]+\)))*\)|[^\s`!()\[\]{};:''".,<>?«»“”‘’]))',
+                     '', 'g') AS text
             FROM documents
         """,
-        "mapper_remove_long_words": """
+        "mapper_remove_long_words": f"""
             SELECT doc_id,
                    array_to_string(
                      list_filter(string_split(text, ' '),
-                                 w -> length(w) >= 2 AND length(w) <= 6), ' ') AS text
+                       w -> (length(w) BETWEEN 2 AND 6)
+                            OR (length(regexp_replace(regexp_replace(w,
+                                  '^[{_word_strip_class()}]+', ''),
+                                  '[{_word_strip_class()}]+$', ''))
+                                BETWEEN 2 AND 6)), ' ') AS text
             FROM documents
         """,
         "mapper_replace_content": """
@@ -1386,10 +1404,10 @@ def oracle_sql() -> dict[str, str]:
                                OR contains(w, '//'))), ' ') AS text
             FROM documents
         """,
-        "mapper_remove_non_chinese": f"""
+        "mapper_remove_non_chinese": r"""
             SELECT doc_id,
                    regexp_replace(text || ' 中文字符ABC123，。xyz',
-                     '[^一-鿥A-Za-z0-9., ，、。！？；：“”‘’!?;:''"()（）]', '', 'g') AS text
+                     '[^一-龥A-Za-z0-9.， ,\-。%《*》/•、&＆(—)（+）：？!！“”·]+', '', 'g') AS text
             FROM documents
         """,
         "mapper_clean_html": f"""
@@ -1547,62 +1565,42 @@ def oracle_sql() -> dict[str, str]:
         "mapper_clean_copyright": r"""
             WITH aug AS (
               SELECT doc_id,
-                     '// copyright Acme Corp' || chr(10)
-                     || '-- copyright second line' || chr(10)
-                     || 'real: ' || text
-                     || ' /* block with copyright inside */ tail' AS t0
+                     CASE WHEN doc_id % 2 = 0
+                          THEN '// header stays on the block path' || chr(10)
+                               || 'real: ' || text
+                               || ' /* block with copyright inside */ tail'
+                          ELSE '// some banner' || chr(10) || '-- another line'
+                               || chr(10) || chr(10) || 'real: ' || text
+                     END AS t0
               FROM documents
-            ), deblocked AS (
-              SELECT doc_id,
-                     CASE WHEN b <> '' AND contains(lower(b), 'copyright')
-                          THEN regexp_replace(t0, '/\*[^*]*\*+(?:[^/*][^*]*\*+)*/', '')
-                          ELSE t0 END AS t1
-              FROM (SELECT doc_id, t0,
-                           regexp_extract(t0, '/\*[^*]*\*+(?:[^/*][^*]*\*+)*/') AS b
-                    FROM aug)
-            ), flagged AS (
-              SELECT doc_id, t1, ls,
-                     CASE WHEN NOT coalesce(f1, false) THEN 0
-                          WHEN NOT coalesce(f2, false) THEN 1
-                          WHEN NOT coalesce(f3, false) THEN 2
-                          WHEN NOT coalesce(f4, false) THEN 3
-                          WHEN NOT coalesce(f5, false) THEN 4
-                          ELSE 5 END AS skip
-              FROM (
-                SELECT doc_id, t1, ls,
-                       (starts_with(lt1, '//') OR starts_with(lt1, '#')
-                        OR starts_with(lt1, '--'))
-                         AND contains(lower(ls[1]), 'copyright') AS f1,
-                       (starts_with(lt2, '//') OR starts_with(lt2, '#')
-                        OR starts_with(lt2, '--'))
-                         AND contains(lower(ls[2]), 'copyright') AS f2,
-                       (starts_with(lt3, '//') OR starts_with(lt3, '#')
-                        OR starts_with(lt3, '--'))
-                         AND contains(lower(ls[3]), 'copyright') AS f3,
-                       (starts_with(lt4, '//') OR starts_with(lt4, '#')
-                        OR starts_with(lt4, '--'))
-                         AND contains(lower(ls[4]), 'copyright') AS f4,
-                       (starts_with(lt5, '//') OR starts_with(lt5, '#')
-                        OR starts_with(lt5, '--'))
-                         AND contains(lower(ls[5]), 'copyright') AS f5
-                FROM (
-                  SELECT doc_id, t1, ls,
-                         trim(ls[1], ' ' || chr(9)) AS lt1,
-                         trim(ls[2], ' ' || chr(9)) AS lt2,
-                         trim(ls[3], ' ' || chr(9)) AS lt3,
-                         trim(ls[4], ' ' || chr(9)) AS lt4,
-                         trim(ls[5], ' ' || chr(9)) AS lt5
-                  FROM (SELECT doc_id, t1, string_split(t1, chr(10)) AS ls
-                        FROM deblocked)
-                )
-              )
+            ), parsed AS (
+              SELECT doc_id, t0,
+                     regexp_extract(t0, '/\*[^*]*\*+(?:[^/*][^*]*\*+)*/') AS b,
+                     string_split(t0, chr(10)) AS ls
+              FROM aug
+            ), skipped AS (
+              SELECT doc_id, t0, b, ls,
+                     coalesce(list_position(list_transform(ls, l ->
+                       starts_with(l, '//') OR starts_with(l, '#')
+                       OR starts_with(l, '--') OR l = ''), false) - 1,
+                       len(ls)) AS skip
+              FROM parsed
             )
             SELECT doc_id,
-                   CASE WHEN skip = 0 THEN t1
+                   CASE WHEN b <> ''
+                        THEN CASE WHEN contains(lower(b), 'copyright')
+                                  THEN regexp_replace(t0,
+                                    '/\*[^*]*\*+(?:[^/*][^*]*\*+)*/', '')
+                                  ELSE t0 END
+                        WHEN skip = 0 THEN t0
                         ELSE array_to_string(
-                          list_slice(ls, skip + 1, len(ls)), chr(10)) END AS text
-            FROM flagged
+                          list_slice(ls, skip + 1, len(ls)), chr(10))
+                   END AS text
+            FROM skipped
         """,
+        # reference-exact semantics: 4-sub sentence split, key = stripped
+        # [ignore-special] sentence, short sentences always kept, kept
+        # sentences CONCATENATED (no separator), lines re-joined with \n
         "mapper_remove_repeat_sentences": r"""
             WITH aug AS (
               SELECT doc_id,
@@ -1618,23 +1616,30 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, li, s.si, s.sent FROM (
                 SELECT doc_id, li,
                        unnest(list_transform(
-                         string_split(regexp_replace(line,
-                           '([.!?。！？])(\s+)', '\1' || chr(1), 'g'), chr(1)),
+                         string_split(
+                           regexp_replace(regexp_replace(regexp_replace(
+                             regexp_replace(line,
+                               '([.。！!？\?])([^’”])', '\1' || chr(10) || '\2', 'g'),
+                               '(\.{6})([^’”])', '\1' || chr(10) || '\2', 'g'),
+                               '(…{2})([^’”])', '\1' || chr(10) || '\2', 'g'),
+                               '([.。!！？\?\.{6}…{2}][’”])([^’”])',
+                               '\1' || chr(10) || '\2', 'g'),
+                           chr(10)),
                          (x, i) -> {'si': i, 'sent': x})) AS s
-                FROM lines)
+                FROM lines WHERE line <> '')
             ), keyed AS (
               SELECT doc_id, li, si, sent,
-                     regexp_replace(sent, '[^a-zA-Z0-9_]', '', 'g') AS key,
-                     (length(sent) < 2
-                      OR regexp_replace(sent, '[^a-zA-Z0-9_]', '', 'g') = '') AS pass
+                     regexp_replace(
+                       trim(sent, ' ' || chr(9) || chr(13) || chr(11) || chr(12)),
+                       '[^a-zA-Z0-9一-龥' || chr(10) || chr(9) || ' ]', '', 'g') AS key
               FROM sents
             ), ranked AS (
-              SELECT doc_id, li, si, sent, pass,
-                     row_number() OVER (PARTITION BY doc_id, key, pass
+              SELECT doc_id, li, si, sent, (length(key) < 2) AS pass,
+                     row_number() OVER (PARTITION BY doc_id, key, (length(key) < 2)
                                         ORDER BY li, si) AS rn
               FROM keyed
             ), lines_out AS (
-              SELECT doc_id, li, string_agg(sent, ' ' ORDER BY si) AS line_out
+              SELECT doc_id, li, string_agg(sent, '' ORDER BY si) AS line_out
               FROM ranked WHERE pass OR rn = 1
               GROUP BY doc_id, li
             )

@@ -30,13 +30,10 @@ SPECIAL_CHARACTERS = set(
     string.punctuation + string.digits + string.whitespace + OTHER_SPECIAL_CHARACTERS
 )
 
-# Unicode whitespace variants normalized to 0x20
-# (reference: ops/common/special_characters.py VARIOUS_WHITESPACES).
+# Unicode whitespace variants normalized to 0x20.
 VARIOUS_WHITESPACES = {
-    " ", "\t", " ", " ", " ", " ", " ", " ",
-    " ", " ", " ", " ", " ", " ", " ",
-    " ", " ", "　", "᠎", "​", "‌", "‍",
-    "⁠", "﻿", "­", "쯮",
+    # EXACT parity with the reference set (ops/common/special_characters.py:25-49)
+    "\u0009", "\u0020", "\u0084", "\u00a0", "\u2000", "\u2001", "\u2002", "\u2003", "\u2004", "\u2005", "\u2006", "\u2007", "\u2008", "\u2009", "\u200a", "\u200b", "\u200c", "\u200d", "\u202f", "\u205f", "\u2060", "\u3000", "\ufffc",
 }
 
 WHITESPACE_SPLIT_RE = r"[ \n\t]"

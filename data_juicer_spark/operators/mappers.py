@@ -123,11 +123,22 @@ class CleanIpMapper(Mapper):
 
 @OPERATORS.register("clean_links_mapper")
 class CleanLinksMapper(Mapper):
-    """regex-remove URLs/ftp links (clean_links_mapper.py:24-57)."""
+    """regex-remove links (clean_links_mapper.py:24-59) — the reference's
+    exact default pattern (Gruber-style: any scheme `x://`, www., or
+    bare domain/path), ported character-for-character."""
 
+    # (?U) = Java UNICODE_CHARACTER_CLASS so \w matches like Python's
+    # unicode-default \w (the reference matches 'http测试://' schemes)
     DEFAULT_PAT = (
-        r"(?i)\b(?:https?|ftp)://[-A-Za-z0-9+&@#/%?=~_|!:,.;]*[-A-Za-z0-9+&@#/%=~_|]"
-        r"|www\.[-A-Za-z0-9+&@#/%?=~_|!:,.;]*[-A-Za-z0-9+&@#/%=~_|]"
+        r"(?iU)\b("
+        r"(?:[a-z][\w-]+:(?:\/{1,3}|"
+        r"[a-z0-9%])|www\d{0,3}[.]|"
+        r"[a-z0-9.\-]+[.][a-z]{2,4}\/)"
+        r"(?:[^\s()<>]+|\(([^\s()<>]+|"
+        r"(\([^\s()<>]+\)))*\))"
+        r"+(?:\(([^\s()<>]+|(\([^\s()<>]+\)))*\)|"
+        r"[^\s`!()\[\]{};:\'\".,<>?«»“”‘’])"
+        r")"
     )
 
     def __init__(self, pattern: str | None = None, repl: str = "", **kw):
@@ -172,8 +183,10 @@ class RemoveSpecificCharsMapper(Mapper):
 @OPERATORS.register("remove_long_words_mapper")
 class RemoveLongWordsMapper(Mapper):
     """drop words with len outside [min,max]
-    (remove_long_words_mapper.py:29-60) — higher-order array functions,
-    no Python."""
+    (remove_long_words_mapper.py:45-51 should_keep_long_word): a word is
+    kept when ITS length fits OR its length fits after stripping
+    SPECIAL_CHARACTERS from both ends (emoji-suffixed words survive).
+    Higher-order array functions, no Python."""
 
     def __init__(self, min_len: int = 1, max_len: int = 128, **kw):
         super().__init__(**kw)
@@ -181,11 +194,19 @@ class RemoveLongWordsMapper(Mapper):
 
     def expr(self, col: Column) -> Column:
         lo, hi = self.min_len, self.max_len
-        kept = F.filter(
-            F.split(col, " "),
-            lambda w: (F.length(w) >= lo) & (F.length(w) <= hi),
-        )
-        return F.array_join(kept, " ")
+        # the reference strips SPECIAL_CHARACTERS which include the emoji
+        # package's full list; hermetically we add the emoji BLOCKS to
+        # the edge-strip class (covers the practical set)
+        cls = T._charclass(T.SPECIAL_CHARACTERS) + (
+            r"\x{FE0F}\x{2600}-\x{27BF}\x{1F000}-\x{1FAFF}\x{1F1E6}-\x{1F1FF}")
+        edge = f"^[{cls}]+|[{cls}]+$"
+
+        def keep(w):
+            stripped = F.regexp_replace(w, edge, "")
+            return ((F.length(w) >= lo) & (F.length(w) <= hi)) | \
+                   ((F.length(stripped) >= lo) & (F.length(stripped) <= hi))
+
+        return F.array_join(F.filter(F.split(col, " "), keep), " ")
 
 
 @OPERATORS.register("remove_table_text_mapper")
@@ -249,10 +270,12 @@ class RemoveHeaderMapper(Mapper):
 
 @OPERATORS.register("clean_copyright_mapper")
 class CleanCopyrightMapper(Mapper):
-    """strip /*...*/ comment blocks containing 'copyright' + leading
-    //-#---style comment header lines (clean_copyright_mapper.py:10-63,
-    RedPajama code cleaning). Span logic needs a pandas UDF (regex alone
-    can't express 'only if block contains word, only leading lines')."""
+    """RedPajama code cleaning, reference-exact
+    (clean_copyright_mapper.py:33-59): if the text contains a /*...*/
+    block, strip it ONLY when it mentions copyright and return (no line
+    logic); otherwise greedily strip LEADING lines that start with
+    //, #, -- or are empty — unconditionally (most such headers are
+    copyright banners). Span logic needs a pandas UDF."""
 
     _BLOCK_RE = re.compile(r"/\*[^*]*\*+(?:[^/*][^*]*\*+)*/", re.DOTALL)
 
@@ -261,34 +284,34 @@ class CleanCopyrightMapper(Mapper):
 
         @pandas_udf(StringType())
         def clean(s: pd.Series) -> pd.Series:
-            # fast path: rows without 'copyright' can't change — select
-            # candidates with one vectorized contains() and only run the
-            # span logic on those (typically a small minority)
-            mask = s.str.contains("copyright", case=False, regex=False, na=False)
-            if not mask.any():
-                return s
-
             def one(txt):
                 if txt is None:
                     return txt
                 m = block_re.search(txt)
-                if m and "copyright" in m.group(0).lower():
-                    txt = txt[: m.start()] + txt[m.end():]
+                if m:
+                    if "copyright" in m.group(0).lower():
+                        txt = txt[: m.start()] + txt[m.end():]
+                    return txt
                 lines = txt.split("\n")
                 skip = 0
-                for line in lines[:5]:
-                    stripped = line.strip()
-                    if (stripped.startswith("//") or stripped.startswith("#")
-                            or stripped.startswith("--")) and "copyright" in stripped.lower():
+                for line in lines:
+                    if (line.startswith("//") or line.startswith("#")
+                            or line.startswith("--") or not line):
                         skip += 1
-                    elif skip:
-                        break
                     else:
                         break
                 if skip:
                     txt = "\n".join(lines[skip:])
                 return txt
 
+            # vectorized prefilter: only rows that could change run the
+            # python span logic (a block candidate, or a leading comment
+            # marker / empty first line)
+            mask = (s.str.contains("/*", regex=False, na=False)
+                    | s.str.match(r"(//|#|--|\n)", na=False)
+                    | (s.fillna("x").str.len().eq(0)))
+            if not mask.any():
+                return s
             out = s.copy()
             out[mask] = _safe_map(s[mask], one)
             return out
@@ -306,7 +329,9 @@ class CleanHtmlMapper(Mapper):
 
     ENTITIES = [
         ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
-        ("&#39;", "'"), ("&amp;", "&"),
+        ("&#39;", "'"), ("&copy;", "©"), ("&reg;", "®"), ("&trade;", "™"),
+        ("&hellip;", "…"), ("&mdash;", "—"), ("&ndash;", "–"),
+        ("&amp;", "&"),
     ]
 
     def expr(self, col: Column) -> Column:
@@ -314,10 +339,15 @@ class CleanHtmlMapper(Mapper):
         for src, dst in (("<li>", "\n*"), ("</li>", ""),
                          ("<ol>", "\n*"), ("</ol>", "")):
             out = F.replace(out, F.lit(src), F.lit(dst))
-        out = F.regexp_replace(out, r"<[^>]+>", "")
+        # selectolax tag rules: an opening tag must start with an ASCII
+        # letter (or ! for doctype/comments); any '</...>' closes. Bare
+        # '<非标签>' text survives, like the parser. Whitespace BEFORE the
+        # first node is dropped by tree construction (leading strip);
+        # trailing in-body whitespace is kept.
+        out = F.regexp_replace(out, r"(?s)</[^>]*>|<[a-zA-Z!][^>]*>", "")
         for src, dst in self.ENTITIES:
             out = F.replace(out, F.lit(src), F.lit(dst))
-        return out
+        return F.regexp_replace(out, r"^\s+", "")
 
 
 @OPERATORS.register("fix_unicode_mapper")
@@ -372,11 +402,20 @@ class FixUnicodeMapper(Mapper):
             def one(t):
                 if t is None:
                     return t
-                if do_moji and hint.search(t):
-                    repaired = demojibake(t)
-                    if repaired != t and hint.search(repaired):
-                        repaired = demojibake(repaired)  # double mojibake
-                    t = repaired
+                if do_moji:
+                    # iterate to fixpoint — real-world text is double- or
+                    # even triple-mojibake (ftfy does the same)
+                    for _ in range(4):
+                        if not hint.search(t):
+                            break
+                        repaired = demojibake(t)
+                        if repaired == t:
+                            break
+                        t = repaired
+                    # ftfy defaults also uncurl quotes and fix line breaks
+                    t = (t.replace("‘", "'").replace("’", "'")
+                          .replace("“", '"').replace("”", '"')
+                          .replace("\r\n", "\n").replace("\r", "\n"))
                 return unicodedata.normalize(form, t)
 
             return _safe_map(s, one)
@@ -384,10 +423,27 @@ class FixUnicodeMapper(Mapper):
         return df.withColumn(self.text_key, fix(F.col(self.text_key)))
 
 
+def _split_sentence_ref(text):
+    """Reference sentence splitter (remove_repeat_sentences_mapper.py:6-11):
+    four sequential subs insert a newline after sentence-final punctuation
+    (quote-aware), then split — ported character-for-character."""
+    text = re.sub("([.\u3002\uff01!\uff1f\\?])([^\u2019\u201d])", r"\1\n\2", text)
+    text = re.sub("(\\.{6})([^\u2019\u201d])", r"\1\n\2", text)
+    text = re.sub("(\\\u2026{2})([^\u2019\u201d])", r"\1\n\2", text)
+    text = re.sub("([.\u3002!\uff01\uff1f\\?\\.{6}\\\u2026{2}][\u2019\u201d])([^\u2019\u201d])",
+                  r"\1\n\2", text)
+    return text.split("\n")
+
+
 @OPERATORS.register("remove_repeat_sentences_mapper")
 class RemoveRepeatSentencesMapper(Mapper):
-    """dedupe repeated sentences within a doc
-    (remove_repeat_sentences_mapper.py:28-82). Arrow-batched UDF."""
+    """dedupe repeated sentences within a doc — reference-exact
+    (remove_repeat_sentences_mapper.py:57-82): per line, reference
+    sentence split; dedup key = sentence.strip() [optionally lowercased]
+    with non-alnum/CJK chars removed when ignore_special_character;
+    sentences shorter than the min length are always kept (and NOT
+    remembered); kept sentences CONCATENATED with no separator (the
+    split preserves inner spacing); lines re-joined with newline."""
 
     def __init__(self, lowercase: bool = False, ignore_special_character: bool = True,
                  min_repeat_sentence_length: int = 2, **kw):
@@ -398,29 +454,31 @@ class RemoveRepeatSentencesMapper(Mapper):
 
     def apply(self, df: DataFrame) -> DataFrame:
         lower, ignore, min_len = self.lowercase, self.ignore_special, self.min_len
-        strip_re = re.compile(r"[^\w\u4e00-\u9fff]")
+        remove_re = re.compile(
+            "[^a-zA-Z0-9\u4e00-\u9fa5\n\t ]") if ignore else None
 
         @pandas_udf(StringType())
         def dedup_sents(s: pd.Series) -> pd.Series:
             def one(txt):
                 if txt is None:
                     return txt
-                seen, out = set(), []
+                new_lines, seen = [], set()
                 for line in txt.split("\n"):
-                    parts = re.split(r"(?<=[.!?。！？])\s+", line)
-                    kept = []
-                    for p in parts:
-                        key = p.lower() if lower else p
-                        if ignore:
-                            key = strip_re.sub("", key)
-                        if len(p) < min_len or not key:
-                            kept.append(p)
-                            continue
-                        if key not in seen:
-                            seen.add(key)
-                            kept.append(p)
-                    out.append(" ".join(kept) if kept else "")
-                return "\n".join(out)
+                    new_sent = ""
+                    if line:
+                        for sentence in _split_sentence_ref(line):
+                            copy = sentence.strip()
+                            if lower:
+                                copy = copy.lower()
+                            if remove_re is not None:
+                                copy = remove_re.sub("", copy)
+                            if len(copy) < min_len:
+                                new_sent += sentence
+                            elif copy not in seen:
+                                new_sent += sentence
+                                seen.add(copy)
+                    new_lines.append(new_sent)
+                return "\n".join(new_lines)
 
             return _safe_map(s, one)
 
@@ -432,8 +490,14 @@ class RemoveWordsWithIncorrectSubstringsMapper(Mapper):
     """drop words containing any bad substring
     (remove_words_with_incorrect_substrings_mapper.py:38-93)."""
 
-    def __init__(self, substrings=None, **kw):
+    def __init__(self, substrings=None, lang: str = "en",
+                 tokenization: bool = False, **kw):
         super().__init__(**kw)
+        if tokenization:
+            raise NotImplementedError(
+                "tokenization=True needs the reference's sentencepiece "
+                "model (a serving dep) — hermetic build supports "
+                "whitespace words only")
         self.substrings = substrings or ["http", "www", ".com", "href", "//"]
 
     def expr(self, col: Column) -> Column:
@@ -534,14 +598,18 @@ class RemoveNonChineseCharacterMapper(Mapper):
     def __init__(self, keep_alphabet: bool = True, keep_number: bool = True,
                  keep_punc: bool = True, **kw):
         super().__init__(**kw)
-        pat = "[^\\u4e00-\\u9fa5"
+        # exact reference pattern construction
+        # (remove_non_chinese_character_mapper.py:33-41)
+        pat = "[^一-龥"
         if keep_alphabet:
             pat += "A-Za-z"
         if keep_number:
             pat += "0-9"
         if keep_punc:
-            pat += "., ，、。！？；：“”‘’!?;:'\"()（）"
-        self.pattern = pat + "]"
+            pat += ".， ,\\-。%《*》/•、&＆(—)（+）：？!！“”·]+"
+        else:
+            pat += "]"
+        self.pattern = pat
 
     def expr(self, col: Column) -> Column:
         return F.regexp_replace(col, self.pattern, "")

@@ -186,15 +186,19 @@ BLOCK_RE = re.compile(r"/\*[^*]*\*+(?:[^/*][^*]*\*+)*/", re.DOTALL)
 
 
 def _oracle_clean_copyright(txt):
+    # reference-exact (clean_copyright_mapper.py:33-59): block found ->
+    # strip only if it mentions copyright, then RETURN; otherwise greedily
+    # strip leading //-, #-, --- or empty lines unconditionally
     m = BLOCK_RE.search(txt)
-    if m and "copyright" in m.group(0).lower():
-        txt = txt[: m.start()] + txt[m.end():]
+    if m:
+        if "copyright" in m.group(0).lower():
+            txt = txt[: m.start()] + txt[m.end():]
+        return txt
     lines = txt.split("\n")
     skip = 0
-    for line in lines[:5]:
-        s = line.strip()
-        if (s.startswith("//") or s.startswith("#") or s.startswith("--")) \
-                and "copyright" in s.lower():
+    for line in lines:
+        if line.startswith("//") or line.startswith("#") \
+                or line.startswith("--") or not line:
             skip += 1
         else:
             break

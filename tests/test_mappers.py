@@ -45,13 +45,17 @@ def test_clean_copyright(spark):
     out = run_mapper(spark, "clean_copyright_mapper", [code])
     assert "Copyright" not in out[0]
     assert "int main()" in out[0]
-    # comment header lines
-    code2 = "# copyright acme corp\nprint('hi')\n"
+    # leading comment lines are stripped GREEDILY and unconditionally
+    # (reference :48-55 — most such headers are copyright banners)
+    code2 = "# some header\n// another\nprint('hi')\n"
     out2 = run_mapper(spark, "clean_copyright_mapper", [code2])
     assert out2[0] == "print('hi')\n"
-    # non-copyright block comments survive
+    # non-copyright block comments survive, and the block path RETURNS
+    # without touching leading comment lines
     code3 = "/* keep this */\nint x;\n"
     assert run_mapper(spark, "clean_copyright_mapper", [code3])[0] == code3
+    code4 = "// leading comment\n/* no c-word */\nbody"
+    assert run_mapper(spark, "clean_copyright_mapper", [code4])[0] == code4
 
 
 def test_remove_long_words(spark):
@@ -130,7 +134,7 @@ def test_clean_html(spark):
                       ["<p>Hello <b>world</b></p>",
                        "<li>one</li><ol>two</ol>",
                        "a &amp; b &lt;c&gt; &nbsp;d"]) == \
-        ["Hello world", "\n*one\n*two", "a & b <c>  d"]
+        ["Hello world", "*one\n*two", "a & b <c>  d"]  # leading ws dropped like the parser
 
 
 def test_expand_macro(spark):

@@ -18,13 +18,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _exact_sum(col, scale: int = 4):
+def _exact_sum(col):
     """Order-independent float sum: round each value to integer micros,
     sum as long (exact integer arithmetic — no partition-order rounding
-    ties), scale back. The DuckDB oracles use the identical formulation
-    so the two engines agree bit-exactly regardless of shuffle layout."""
+    ties), scale back with a SINGLE IEEE division and NO final decimal
+    round. round(double, n) is the one step where Spark (BigDecimal
+    HALF_UP on the shortest decimal repr) and DuckDB (x*10^n /
+    std::round in binary) can emit different doubles on .xxx5-boundary
+    values — and micros/1e6 values sit on those boundaries by
+    construction. One correctly-rounded division of identical operands
+    is bit-identical on both engines. The DuckDB oracles use the exact
+    same formulation."""
     micros = F.round(col * F.lit(1_000_000)).cast("long")
-    return F.round(F.sum(micros) / F.lit(1_000_000.0), scale)
+    return F.sum(micros) / F.lit(1_000_000.0)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -256,7 +262,7 @@ def _q_cdc_last_wins(spark, sf_dir):
     return (
         ev.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("user_id", "event_id", "event_type", F.round("value", 4).alias("value"))
+        .select("user_id", "event_id", "event_type", "value")
     )
 
 
@@ -391,9 +397,13 @@ def _q_events_running_sum(spark, sf_dir):
     w = (Window.partitionBy("user_id")
          .orderBy("ts", "event_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # integer-micros running sum — exact at every prefix, no rounded-double
+    # emission anywhere (see _exact_sum docstring for why round(d, n) is
+    # banned on exact-decimal-derived outputs)
+    micros = F.round(F.col("value") * F.lit(1_000_000)).cast("long")
     return ev.select(
         "user_id", "event_id",
-        F.round(F.sum("value").over(w), 4).alias("running_value"),
+        (F.sum(micros).over(w) / F.lit(1_000_000.0)).alias("running_value"),
         F.count(F.lit(1)).over(w).alias("running_cnt"),
     )
 
@@ -428,10 +438,8 @@ def _q_tpch_q1_like(spark, sf_dir):
             _exact_sum(F.col("l_extendedprice")).alias("sum_base_price"),
             _exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
             .alias("sum_disc_price"),
-            F.round(
-                F.sum(F.round(F.col("l_quantity") * F.lit(1_000_000)).cast("long"))
-                / F.lit(1_000_000.0) / F.count(F.lit(1)), 6
-            ).alias("avg_qty"),
+            (F.sum(F.round(F.col("l_quantity") * F.lit(1_000_000)).cast("long"))
+             / F.lit(1_000_000.0) / F.count(F.lit(1))).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -1195,12 +1203,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
                    event_type,
                    count(*) AS cnt,
-                   round(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0, 4)
+                   sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0
                      AS sum_value
             FROM events GROUP BY 1, 2
         """,
         "cdc_last_wins": """
-            SELECT user_id, event_id, event_type, round(value, 4) AS value FROM (
+            SELECT user_id, event_id, event_type, value FROM (
               SELECT user_id, event_id, event_type, value,
                      row_number() OVER (PARTITION BY user_id
                                         ORDER BY ts DESC, event_id DESC) AS rn
@@ -1264,7 +1272,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_running_sum": """
             SELECT user_id, event_id,
-                   round(sum(value) OVER w, 4) AS running_value,
+                   sum(CAST(round(value * 1000000) AS BIGINT)) OVER w / 1000000.0
+                     AS running_value,
                    count(*) OVER w AS running_cnt
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -1287,20 +1296,20 @@ def oracle_sql() -> dict[str, str]:
               FROM flagged
             )
             SELECT user_id, session_id, count(*) AS n_events,
-                   round(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0, 4)
+                   sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0
                      AS session_value
             FROM sess GROUP BY user_id, session_id
         """,
         "tpch_q1_like": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(CAST(round(l_quantity * 1000000) AS BIGINT)) / 1000000.0, 4)
+                   sum(CAST(round(l_quantity * 1000000) AS BIGINT)) / 1000000.0
                      AS sum_qty,
-                   round(sum(CAST(round(l_extendedprice * 1000000) AS BIGINT)) / 1000000.0, 4)
+                   sum(CAST(round(l_extendedprice * 1000000) AS BIGINT)) / 1000000.0
                      AS sum_base_price,
-                   round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT))
-                         / 1000000.0, 4) AS sum_disc_price,
-                   round(sum(CAST(round(l_quantity * 1000000) AS BIGINT)) / 1000000.0
-                         / count(*), 6) AS avg_qty,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT))
+                         / 1000000.0 AS sum_disc_price,
+                   sum(CAST(round(l_quantity * 1000000) AS BIGINT)) / 1000000.0
+                         / count(*) AS avg_qty,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '2024-06-30 00:00:00'
@@ -1309,8 +1318,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q3_like": """
             SELECT l_orderkey, revenue FROM (
               SELECT l.l_orderkey AS l_orderkey,
-                     round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000)
-                               AS BIGINT)) / 1000000.0, 4) AS revenue
+                     sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000)
+                               AS BIGINT)) / 1000000.0 AS revenue
               FROM lineitem l
               JOIN orders o ON l.l_orderkey = o.o_orderkey
               JOIN customer c ON o.o_custkey = c.c_custkey

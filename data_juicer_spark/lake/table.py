@@ -131,33 +131,27 @@ class SnapshotTable:
                 f"(oldest retained epoch: {hist[-1]['epoch']})")
         return None
 
-    def _commit(self, manifest: dict) -> dict:
-        """Optimistic-concurrency commit (Iceberg's protocol shape):
-        write the immutable manifest, then swap the pointer UNDER a
-        compare-and-set — the swap only goes through if the live pointer
-        still equals this manifest's parent. A racing writer that lost
-        gets ConcurrentCommitError (retry against the new current) instead
-        of silently orphaning the winner's snapshot. The critical section
-        is an O_EXCL lockfile around read-check-replace; the replace
-        itself stays a single atomic rename, so a crash anywhere leaves
-        the previous snapshot intact."""
-        snap_id = manifest["snapshot_id"]
-        path = f"{self.root}/metadata/snap-{snap_id}.json"
-        with open(path, "w") as f:
-            json.dump(manifest, f, indent=1)
+    def _acquire_lock(self, timeout: float = 30.0,
+                      stale_after: float = 60.0) -> str:
+        """O_EXCL lockfile acquisition with owner token. The token (a
+        uuid) is written INTO the lockfile so a holder can detect that a
+        reaper stole its lock: any critical decision re-verifies
+        ownership via _owns_lock. Locks older than `stale_after` are
+        reaped (crashed holder); the O_EXCL retry loop arbitrates racing
+        reapers."""
         lock = f"{self._pointer()}.lock"
-        deadline = time.time() + 30.0
+        token = uuid.uuid4().hex
+        deadline = time.time() + timeout
         while True:
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                break
+                os.write(fd, token.encode())
+                os.fsync(fd)
+                os.close(fd)
+                return token
             except FileExistsError:
-                # staleness recovery: a writer killed inside the critical
-                # section must not brick the table forever — a lock older
-                # than the stale horizon is reaped (the O_EXCL retry loop
-                # arbitrates racing reapers)
                 try:
-                    if time.time() - os.path.getmtime(lock) > 60.0:
+                    if time.time() - os.path.getmtime(lock) > stale_after:
                         os.remove(lock)
                         continue
                 except FileNotFoundError:
@@ -165,6 +159,46 @@ class SnapshotTable:
                 if time.time() > deadline:
                     raise TimeoutError(f"commit lock stuck: {lock}")
                 time.sleep(0.05)
+
+    def _owns_lock(self, token: str) -> bool:
+        try:
+            with open(f"{self._pointer()}.lock") as f:
+                return f.read().strip() == token
+        except FileNotFoundError:
+            return False
+
+    def _release_lock(self, token: str) -> None:
+        # only remove the lock if it is still OURS — a reaped-and-retaken
+        # lock belongs to someone else now
+        if self._owns_lock(token):
+            try:
+                os.remove(f"{self._pointer()}.lock")
+            except FileNotFoundError:
+                pass
+
+    def _commit(self, manifest: dict) -> dict:
+        """Optimistic-concurrency commit (Iceberg's protocol shape):
+        write the immutable manifest, then swap the pointer UNDER a
+        compare-and-set — the swap only goes through if the live pointer
+        still equals this manifest's parent. A racing writer that lost
+        gets ConcurrentCommitError (retry against the new current) instead
+        of silently orphaning the winner's snapshot. The critical section
+        is an owner-token lockfile around write-check-replace; the replace
+        itself stays a single atomic rename, so a crash anywhere leaves
+        the previous snapshot intact.
+
+        Two race hardenings:
+        - the manifest file is written INSIDE the critical section, so a
+          concurrent expire_snapshots (which takes the same lock) can
+          never observe a not-yet-committed manifest and delete it
+          between its write and the pointer swap;
+        - ownership is re-verified immediately before os.replace — a
+          holder paused past the stale horizon (GC pause, NFS stall)
+          whose lock was reaped loses with ConcurrentCommitError instead
+          of silently orphaning the thief's commit."""
+        snap_id = manifest["snapshot_id"]
+        path = f"{self.root}/metadata/snap-{snap_id}.json"
+        token = self._acquire_lock()
         try:
             try:
                 with open(self._pointer()) as f:
@@ -172,18 +206,25 @@ class SnapshotTable:
             except FileNotFoundError:
                 live = None
             if live != manifest.get("parent"):
-                os.remove(path)  # orphaned manifest of the losing writer
                 raise ConcurrentCommitError(
                     f"snapshot {snap_id} expected parent "
                     f"{manifest.get('parent')!r} but current is {live!r} — "
                     f"another writer committed first; re-read and retry")
+            with open(path, "w") as f:
+                json.dump(manifest, f, indent=1)
             tmp = f"{self._pointer()}.tmp-{uuid.uuid4().hex}"
             with open(tmp, "w") as f:
                 f.write(snap_id)
+            if not self._owns_lock(token):
+                os.remove(path)  # we were reaped — do not race the thief
+                os.remove(tmp)
+                raise ConcurrentCommitError(
+                    f"commit lock for snapshot {snap_id} was reaped while "
+                    f"paused (held past the stale horizon) — another writer "
+                    f"may hold it now; re-read and retry")
             os.replace(tmp, self._pointer())  # atomic pointer swap
         finally:
-            os.close(fd)
-            os.remove(lock)
+            self._release_lock(token)
         return manifest
 
     # -- read --------------------------------------------------------------
@@ -602,49 +643,71 @@ class SnapshotTable:
 
     # -- maintenance: snapshot expiry ---------------------------------------
 
-    def expire_snapshots(self, keep_last: int = 5) -> dict:
+    def expire_snapshots(self, keep_last: int = 5,
+                         data_grace_seconds: float = 300.0) -> dict:
         """Drop all but the most recent `keep_last` snapshots: delete
         their manifests and any data directory no retained manifest
         references (bucket dirs are shared across snapshots by
         carry-forward, so reachability is computed at bucket-dir
         granularity). Time travel past the horizon then raises instead
-        of answering wrong. Returns {'manifests': n, 'data_dirs': n}."""
+        of answering wrong. Returns {'manifests': n, 'data_dirs': n}.
+
+        Concurrency: runs UNDER the commit lock, and _commit writes its
+        manifest inside the same lock — so an in-flight writer's
+        manifest can never be observed (and deleted) between its write
+        and the pointer swap. Data directories are written by Spark jobs
+        OUTSIDE the lock, so unreferenced dirs younger than
+        `data_grace_seconds` are skipped: they may belong to a commit in
+        flight. Pass 0 only when no writer can be live (tests,
+        single-process maintenance windows)."""
         import shutil
 
-        hist = self.snapshot_history()
-        keep = hist[:max(keep_last, 1)]
-        keep_ids = {s["snapshot_id"] for s in keep}
-        referenced = set()
-        for s in keep:
-            referenced.update(os.path.normpath(d) for d in s["buckets"].values())
-            for delta in s.get("deltas", []):
+        token = self._acquire_lock()
+        try:
+            hist = self.snapshot_history()
+            keep = hist[:max(keep_last, 1)]
+            keep_ids = {s["snapshot_id"] for s in keep}
+            referenced = set()
+            for s in keep:
                 referenced.update(
-                    os.path.normpath(d) for d in delta["upsert_buckets"].values())
-                referenced.update(
-                    os.path.normpath(d)
-                    for d in delta.get("delete_buckets", {}).values())
-        n_manifests = n_dirs = 0
-        meta = f"{self.root}/metadata"
-        for name in os.listdir(meta):
-            if name.startswith("snap-") and name.endswith(".json") \
-                    and name[5:-5] not in keep_ids:
-                os.remove(os.path.join(meta, name))
-                n_manifests += 1
-        data = f"{self.root}/data"
-        for top in os.listdir(data):
-            top_path = os.path.join(data, top)
-            if not os.path.isdir(top_path):
-                continue
-            for sub, dirs, _files in os.walk(top_path, topdown=False):
-                if os.path.basename(sub).startswith("__bucket__=") \
-                        and os.path.normpath(sub) not in referenced:
-                    shutil.rmtree(sub, ignore_errors=True)
-                    n_dirs += 1
-            # remove now-empty containers (incl. kept_col=… levels)
-            for sub, dirs, files in os.walk(top_path, topdown=False):
-                if not os.listdir(sub):
-                    os.rmdir(sub)
-        return {"manifests": n_manifests, "data_dirs": n_dirs}
+                    os.path.normpath(d) for d in s["buckets"].values())
+                for delta in s.get("deltas", []):
+                    referenced.update(
+                        os.path.normpath(d)
+                        for d in delta["upsert_buckets"].values())
+                    referenced.update(
+                        os.path.normpath(d)
+                        for d in delta.get("delete_buckets", {}).values())
+            n_manifests = n_dirs = 0
+            meta = f"{self.root}/metadata"
+            for name in os.listdir(meta):
+                if name.startswith("snap-") and name.endswith(".json") \
+                        and name[5:-5] not in keep_ids:
+                    os.remove(os.path.join(meta, name))
+                    n_manifests += 1
+            now = time.time()
+            data = f"{self.root}/data"
+            for top in os.listdir(data):
+                top_path = os.path.join(data, top)
+                if not os.path.isdir(top_path):
+                    continue
+                for sub, dirs, _files in os.walk(top_path, topdown=False):
+                    if os.path.basename(sub).startswith("__bucket__=") \
+                            and os.path.normpath(sub) not in referenced:
+                        try:
+                            if now - os.path.getmtime(sub) < data_grace_seconds:
+                                continue  # possibly an in-flight commit's data
+                        except OSError:
+                            continue
+                        shutil.rmtree(sub, ignore_errors=True)
+                        n_dirs += 1
+                # remove now-empty containers (incl. kept_col=… levels)
+                for sub, dirs, files in os.walk(top_path, topdown=False):
+                    if not os.listdir(sub):
+                        os.rmdir(sub)
+            return {"manifests": n_manifests, "data_dirs": n_dirs}
+        finally:
+            self._release_lock(token)
 
     def _compact(self, cur: dict, epoch: int) -> dict:
         """Fold deltas into the base: resolve only delta-touched buckets,

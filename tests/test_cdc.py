@@ -394,7 +394,9 @@ def test_expire_snapshots_keeps_current_state(spark, tmp_root):
     before = table_state(spark, table)
     n_hist = len(table.snapshot_history())
     assert n_hist > 2
-    stats = table.expire_snapshots(keep_last=2)
+    # grace=0: no concurrent writer in this test; default 300 s grace
+    # would skip the just-written dirs
+    stats = table.expire_snapshots(keep_last=2, data_grace_seconds=0.0)
     assert stats["manifests"] > 0 and stats["data_dirs"] > 0
     assert len(table.snapshot_history()) == 2
     assert table_state(spark, table) == before  # current read unchanged
@@ -421,8 +423,75 @@ def test_concurrent_commit_raises_not_clobbers(spark, tmp_root):
                  parent="not-the-current-snapshot")
     with pytest.raises(ConcurrentCommitError):
         table._commit(stale)
-    # winner's state untouched; the loser's manifest was cleaned up
+    # winner's state untouched; the loser's manifest was never persisted
     assert table.current_snapshot()["snapshot_id"] == cur["snapshot_id"]
     import os
     assert not os.path.exists(f"{tmp_root}/metadata/snap-stale-123.json")
+    events.unpersist()
+
+
+def test_reaped_lock_holder_loses_not_clobbers(spark, tmp_root):
+    """A slow-but-alive writer whose lock was reaped past the stale
+    horizon must get ConcurrentCommitError when it resumes, not swap the
+    pointer over the thief's commit (lost-update prevention)."""
+    import os
+
+    from data_juicer_spark.lake.table import ConcurrentCommitError
+
+    events = make_events(spark, 1000, 500).persist()
+    table = SnapshotTable(spark, tmp_root, ["repo", "path"],
+                          num_buckets=4, strategy="mor")
+    CdcReplayer(table).replay(events)
+    cur = table.current_snapshot()
+
+    # simulate: our lock gets reaped and re-taken by another writer
+    # between acquisition and the pointer swap
+    token = table._acquire_lock()
+    lock = f"{table._pointer()}.lock"
+    with open(lock, "w") as f:
+        f.write("someone-else")
+    assert not table._owns_lock(token)
+    table._release_lock(token)  # must NOT remove the thief's lock
+    assert os.path.exists(lock)
+    os.remove(lock)  # clear for part 2
+
+    # _commit with a correct parent but a stolen lock: the ownership
+    # recheck before os.replace must abort the swap
+    attempt = dict(cur, snapshot_id="late-writer-1",
+                   parent=cur["snapshot_id"])
+    orig_acquire = SnapshotTable._acquire_lock
+
+    def hijacked(self, *a, **kw):
+        t = orig_acquire(self, *a, **kw)
+        with open(f"{self._pointer()}.lock", "w") as f:
+            f.write("thief")
+        return t
+
+    SnapshotTable._acquire_lock = hijacked
+    try:
+        with pytest.raises(ConcurrentCommitError, match="reaped"):
+            table._commit(attempt)
+    finally:
+        SnapshotTable._acquire_lock = orig_acquire
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
+    assert table.current_snapshot()["snapshot_id"] == cur["snapshot_id"]
+    assert not os.path.exists(f"{tmp_root}/metadata/snap-late-writer-1.json")
+    events.unpersist()
+
+
+def test_expire_grace_skips_young_data_dirs(spark, tmp_root):
+    """Default data grace: freshly-written (possibly in-flight) data
+    dirs survive expiry; manifests of old snapshots still expire."""
+    events = make_events(spark, 2000, 250).persist()
+    table = SnapshotTable(spark, tmp_root, ["repo", "path"],
+                          num_buckets=8, strategy="mor", compact_every=3)
+    CdcReplayer(table).replay(events)
+    before = table_state(spark, table)
+    stats = table.expire_snapshots(keep_last=2)  # default 300 s grace
+    assert stats["data_dirs"] == 0  # everything here is seconds old
+    assert len(table.snapshot_history()) == 2
+    assert table_state(spark, table) == before
     events.unpersist()

@@ -112,6 +112,20 @@ class Deduplicator(Operator):
     def apply(self, df: DataFrame) -> DataFrame:
         raise NotImplementedError
 
+    def cap_stats(self) -> dict:
+        """Visibility for candidate-size caps (no-silent-caps principle):
+        reports {'dropped_groups': n, 'largest_group': m} — the number of
+        candidate groups (LSH buckets / simhash blocks / shingle keys)
+        the op's size cap excluded from pair generation, and the largest
+        group seen. Opt-in diagnostic: executes one aggregate job over
+        the candidate-count plan built by the last apply()."""
+        plan = getattr(self, "_cap_plan", None)
+        if plan is None:
+            raise RuntimeError(
+                "no capped candidate stage built — run apply() first "
+                "(only simhash/ngram/embedding dedups have caps)")
+        return plan.first().asDict()
+
 
 class Selector(Operator):
     """Global dataset→dataset selection (top-k / range / frequency / random)."""

@@ -78,6 +78,60 @@ def minhash_permutations(num_perm: int, seed: int = 42):
     return pairs[0], pairs[1]
 
 
+def _ignore_stripper(ignore_pattern):
+    """Build the text-stripping callable for an ignore_pattern, or None.
+
+    The reference compiles these with the `regex` module which supports
+    \\p{...} unicode-property escapes; stdlib `re` raises
+    re.error('bad escape \\p') — AT TASK TIME on every executor if left
+    to the UDF. So: single-property patterns (\\p{P}, \\p{N}, \\p{Lu},
+    and their \\P negations) are translated to unicodedata category
+    checks here, any OTHER use of \\p/\\P raises ValueError at operator
+    construction, and everything else compiles with re up front (bad
+    regexes also fail here, driver-side)."""
+    if not ignore_pattern:
+        return None
+    m = re.fullmatch(r"\\(p|P)\{([A-Za-z]{1,2})\}", ignore_pattern)
+    if m:
+        negate, prop = m.group(1) == "P", m.group(2)
+
+        def strip_ignored(t, prop=prop, negate=negate):
+            import unicodedata
+
+            if len(prop) == 1:
+                drop = lambda c: unicodedata.category(c)[0] == prop  # noqa: E731
+            else:
+                drop = lambda c: unicodedata.category(c) == prop  # noqa: E731
+            if negate:
+                return "".join(c for c in t if drop(c))
+            return "".join(c for c in t if not drop(c))
+
+        return strip_ignored
+    if re.search(r"\\[pP]", ignore_pattern):
+        raise ValueError(
+            f"ignore_pattern {ignore_pattern!r}: unicode-property escapes "
+            f"are only supported as a single \\p{{…}}/\\P{{…}} pattern "
+            f"(stdlib re has no \\p; translate to explicit char classes "
+            f"or use one property)")
+    ign = re.compile(ignore_pattern)
+    return lambda t: ign.sub("", t)
+
+
+def _cap_stats_plan(counts: DataFrame, cap: int) -> DataFrame:
+    """Lazy diagnostic plan over a candidate-group `count` frame: how
+    many groups the size cap drops, and the largest group seen — read
+    via op.cap_stats() (no-silent-caps principle). A plain Observation
+    can't be used here: the counts node sits under a self-join, so it
+    appears twice in the executed plan and Spark's observed-metrics
+    collection rejects it. The stats plan is only executed when
+    cap_stats() is called (one aggregate job, opt-in)."""
+    return counts.agg(
+        F.coalesce(F.sum((F.col("count") > cap).cast("long")),
+                   F.lit(0)).alias("dropped_groups"),
+        F.coalesce(F.max("count"), F.lit(0)).alias("largest_group"),
+    )
+
+
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                          max_rounds: int = 30) -> DataFrame:
     """Min-label propagation connected components over an edge DataFrame.
@@ -194,6 +248,7 @@ class DocumentMinhashDeduplicator(Deduplicator):
         self.num_perm = num_permutations
         self.lowercase = lowercase
         self.ignore_pattern = ignore_pattern
+        self._strip_ignored = _ignore_stripper(ignore_pattern)
         self.id_key = id_key
         if num_bands is None or num_rows_per_band is None:
             num_bands, num_rows_per_band = optimal_param(jaccard_threshold, num_permutations)
@@ -207,7 +262,9 @@ class DocumentMinhashDeduplicator(Deduplicator):
         window = self.window_size
         tokenization = self.tokenization
         lowercase = self.lowercase
-        ignore_pattern = self.ignore_pattern
+        # built (and validated) at __init__; \p{…} handled via
+        # unicodedata translation — see _ignore_stripper
+        strip_ignored = self._strip_ignored
         punct_re = re.compile(r"\W")
 
         @pandas_udf(ArrayType(LongType()))
@@ -217,23 +274,6 @@ class DocumentMinhashDeduplicator(Deduplicator):
             # numpy call: rows are packed into slabs of <=8192 shingles,
             # one (slab x num_perm) matrix multiply + minimum.reduceat
             # per slab instead of a tiny matmul per row
-            if ignore_pattern == r"\p{P}":
-                # the reference compiles this with the `regex` module;
-                # python `re` has no \p — strip unicode punctuation
-                # categories explicitly (same character set)
-                import unicodedata
-
-                def strip_ignored(t):
-                    return "".join(
-                        c for c in t
-                        if not unicodedata.category(c).startswith("P"))
-            elif ignore_pattern:
-                ign = re.compile(ignore_pattern)
-
-                def strip_ignored(t):
-                    return ign.sub("", t)
-            else:
-                strip_ignored = None
             row_hashes: list = []
             for text in s:
                 text = text or ""
@@ -398,6 +438,7 @@ class DocumentSimhashDeduplicator(Deduplicator):
         self.window = window_size
         self.lowercase = lowercase
         self.ignore_pattern = ignore_pattern
+        self._strip_ignored = _ignore_stripper(ignore_pattern)
         self.num_blocks = num_blocks
         self.ham = hamming_distance
         self.id_key = id_key
@@ -406,26 +447,10 @@ class DocumentSimhashDeduplicator(Deduplicator):
     def _simhash_udf(self):
         window, lowercase = self.window, self.lowercase
         tokenization = self.tokenization
-        ignore_pattern = self.ignore_pattern
+        strip_ignored = self._strip_ignored  # validated at __init__
 
         @pandas_udf(LongType())
         def simhash(s: pd.Series) -> pd.Series:
-            if ignore_pattern == r"\p{P}":
-                # reference default in its tests; python `re` has no \p —
-                # strip unicode punctuation categories explicitly
-                import unicodedata
-
-                def strip_ignored(t):
-                    return "".join(
-                        c for c in t
-                        if not unicodedata.category(c).startswith("P"))
-            elif ignore_pattern:
-                ign = re.compile(ignore_pattern)
-
-                def strip_ignored(t):
-                    return ign.sub("", t)
-            else:
-                strip_ignored = None
             punct_re = re.compile(r"\W")
             weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
 
@@ -502,7 +527,9 @@ class DocumentSimhashDeduplicator(Deduplicator):
             "__uid__", "__simhash__",
             F.explode(F.array(*self._block_exprs())).alias("blk"),
         ).select("__uid__", "__simhash__", "blk.block_id", "blk.block_val")
-        ok = (blocks.groupBy("block_id", "block_val").count()
+        counts = blocks.groupBy("block_id", "block_val").count()
+        self._cap_plan = _cap_stats_plan(counts, self.max_block_size)
+        ok = (counts
               .where((F.col("count") > 1) & (F.col("count") <= self.max_block_size))
               .select("block_id", "block_val"))
         blocks = blocks.join(ok, ["block_id", "block_val"])
@@ -561,7 +588,9 @@ class NgramJaccardDeduplicator(Deduplicator):
                     F.size(shingles).alias("set_size"))
         )
         # drop ultra-common shingles (they only create hot-key candidate noise)
-        rare = sh.groupBy("shingle").count().where(F.col("count") <= self.max_shingle_freq)
+        counts = sh.groupBy("shingle").count()
+        self._cap_plan = _cap_stats_plan(counts, self.max_shingle_freq)
+        rare = counts.where(F.col("count") <= self.max_shingle_freq)
         sh = sh.join(rare.select("shingle"), "shingle")
         pairs = (
             sh.alias("a")
@@ -641,8 +670,10 @@ class EmbeddingCosineDeduplicator(Deduplicator):
             .select(F.col("__uid__").alias("src"), F.col("__rep__").alias("dst"))
         )
         # 2) capped LSH bucket join over distinct vectors only
+        counts = reps.groupBy("lsh_bucket").count()
+        self._cap_plan = _cap_stats_plan(counts, self.max_bucket_size)
         ok_buckets = (
-            reps.groupBy("lsh_bucket").count()
+            counts
             .where((F.col("count") > 1) & (F.col("count") <= self.max_bucket_size))
             .select("lsh_bucket")
         )

@@ -296,6 +296,36 @@ def test_embedding_mass_duplicates_stay_linear(spark):
     assert got[0] == 0 and len(got) <= 11
 
 
+def test_cap_drops_are_observable(spark):
+    """No-silent-caps: when a size cap excludes candidate groups, the op
+    reports how many via cap_stats() (ADVICE r2 #4)."""
+    texts = ["shared hot ngram shingle block text body here okay"] * 30
+    texts += ["unique document number %d with its own words" % i
+              for i in range(5)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string")
+
+    # ngram: every shingle of the hot text occurs 30 > cap 10
+    op = OPERATORS.get("ngram_jaccard_deduplicator")(
+        id_key="id", ngram=3, max_shingle_freq=10)
+    op.apply(df).count()
+    st = op.cap_stats()
+    assert st["dropped_groups"] > 0 and st["largest_group"] == 30
+
+    # simhash: distinct-value collapse means no block exceeds cap here →
+    # zero dropped, stats still readable
+    op2 = OPERATORS.get("document_simhash_deduplicator")(
+        id_key="id", max_block_size=2000)
+    op2.apply(df).count()
+    st2 = op2.cap_stats()
+    assert st2["dropped_groups"] == 0 and st2["largest_group"] >= 1
+
+    # before apply(): loud error, not silence
+    op3 = OPERATORS.get("ngram_jaccard_deduplicator")(id_key="id")
+    with pytest.raises(RuntimeError, match="apply"):
+        op3.cap_stats()
+
+
 # ---------------------------------------------------------------------------
 # Reference minhash unit-test fixtures: the signature math is bit-parity
 # (RandomState(42) perms, sha1_hash32, optimal_param), so the kept sets

@@ -19,19 +19,41 @@ from data_juicer_spark.registry import OPERATORS
 @OPERATORS.register("naive_grouper")
 class NaiveGrouper(Grouper):
     """whole dataset → one batched row of lists (naive_grouper.py:22-28).
-    Lists are sorted by id_key so the batched row is deterministic."""
+    Lists are sorted by id_key so the batched row is deterministic.
 
-    def __init__(self, id_key: Optional[str] = None, **kw):
+    Faithful to the reference's semantics, which are inherently
+    driver-bound (ONE row holding every value) — so `max_rows` guards
+    the collapse: the plan raises (JVM-side, during the same agg job —
+    no extra action) instead of silently assembling a row that would OOM
+    the final task at scale. Raise or disable (None) deliberately."""
+
+    def __init__(self, id_key: Optional[str] = None,
+                 max_rows: Optional[int] = 1_000_000, **kw):
         super().__init__(**kw)
         self.id_key = id_key
+        self.max_rows = max_rows
 
     def apply(self, df: DataFrame) -> DataFrame:
         order = self.id_key or df.columns[0]
-        aggs = [
-            F.sort_array(F.collect_list(F.struct(F.col(order).alias("_o"), F.col(c).alias("_v"))))
-            ["_v"].alias(c)
-            for c in df.columns
-        ]
+
+        def lst(c):
+            out = F.sort_array(F.collect_list(
+                F.struct(F.col(order).alias("_o"), F.col(c).alias("_v"))
+            ))["_v"]
+            return out
+
+        aggs = [lst(c).alias(c) for c in df.columns]
+        if self.max_rows is not None:
+            guard = F.count(F.lit(1)) <= F.lit(self.max_rows)
+            aggs[0] = (
+                F.when(guard, lst(df.columns[0]))
+                .otherwise(F.raise_error(F.lit(
+                    f"naive_grouper would batch more than "
+                    f"{self.max_rows} rows into one driver-bound row; "
+                    f"raise max_rows (or pass max_rows=None) if this "
+                    f"is intentional")))
+                .alias(df.columns[0])
+            )
         return df.agg(*aggs)
 
 

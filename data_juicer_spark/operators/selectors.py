@@ -38,17 +38,45 @@ class TopkSpecifiedFieldSelector(Selector):
         self.id_key = id_key
 
     def apply(self, df: DataFrame) -> DataFrame:
-        k = self.topk
-        if k is None:
-            n = df.count()
-            k = max(int(n * (self.top_ratio or 1.0)), 1)
         col = _resolve(self.field_key)
-        order = [col.desc() if self.reverse else col.asc()]
-        if self.id_key:
-            order.append(F.col(self.id_key).asc())
-        # global top-k: Spark's orderBy+limit compiles to TakeOrderedAndProject
-        # (per-partition heap + driver merge — no full sort shuffle).
-        return df.orderBy(*order).limit(k)
+        if self.topk is not None:
+            order = [col.desc() if self.reverse else col.asc()]
+            if self.id_key:
+                order.append(F.col(self.id_key).asc())
+            # global top-k: Spark's orderBy+limit compiles to
+            # TakeOrderedAndProject (per-partition heap + driver merge —
+            # no full sort shuffle).
+            return df.orderBy(*order).limit(self.topk)
+        # top_ratio path: k depends on n, but a df.count() here would be a
+        # second full scan just to size the limit. Instead rank rows with
+        # the exact distributed prefix sum over DISTINCT values (same
+        # machinery as RangeSpecifiedFieldSelector); its only action is
+        # the #partitions-row totals collect, and n falls out of it.
+        from pyspark.sql import Window
+
+        from data_juicer_spark.functions.ranks import exclusive_prefix_sum
+
+        cnts = df.groupBy(col.alias("__v__")).agg(
+            F.count(F.lit(1)).alias("__w__"))
+        cum, n = exclusive_prefix_sum(cnts, "__v__", "__w__", out="__below__")
+        k = max(int(n * (self.top_ratio or 1.0)), 1)
+        if self.reverse:
+            # rows above in DESC order = n - (rows below in ASC) - ties;
+            # null group ranks last (asc puts nulls first → above = n - w),
+            # matching desc_nulls_last
+            cum = cum.withColumn(
+                "__above__", F.lit(n) - F.col("__below__") - F.col("__w__"))
+        else:
+            cum = cum.withColumn("__above__", F.col("__below__"))
+        j = df.join(cum.select("__v__", "__above__"),
+                    col.eqNullSafe(F.col("__v__")), "left")
+        tie_order = F.col(self.id_key).asc() if self.id_key else col.asc()
+        w = Window.partitionBy("__v__").orderBy(tie_order)
+        return (
+            j.withColumn("__pos__", F.row_number().over(w) - 1)
+            .where(F.col("__above__") + F.col("__pos__") < F.lit(k))
+            .drop("__v__", "__above__", "__pos__")
+        )
 
 
 @OPERATORS.register("frequency_specified_field_selector")

@@ -77,6 +77,34 @@ def test_topk_compiles_to_take_ordered(spark, docs):
     assert "TakeOrderedAndProject" in plan  # heap top-k, no global sort
 
 
+def test_topk_ratio_exact_no_full_count_no_global_window(spark, docs):
+    """top_ratio path: exact max(int(n*ratio),1) rows under the
+    (col desc, id asc) order, via the distributed prefix-sum rank — no
+    df.count() full scan, no single-partition window (r2 polish item)."""
+    op = OPERATORS.get("topk_specified_field_selector")(
+        field_key="n_chars", top_ratio=0.1, id_key="doc_id")
+    out = op.apply(docs)
+    pdf = (docs.select("doc_id", "n_chars").toPandas()
+           .sort_values(["n_chars", "doc_id"],
+                        ascending=[False, True]).reset_index(drop=True))
+    k = max(int(len(pdf) * 0.1), 1)
+    exp = sorted(pdf["doc_id"][:k])
+    got = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert got == exp
+    assert "SinglePartition" not in plan_of(out)
+
+
+def test_naive_grouper_guard_raises_over_max_rows(spark, docs):
+    op = OPERATORS.get("naive_grouper")(id_key="doc_id", max_rows=10)
+    with pytest.raises(Exception, match="naive_grouper"):
+        op.apply(docs).collect()
+    # guarded path still produces the identical batched row when under
+    op_ok = OPERATORS.get("naive_grouper")(id_key="doc_id", max_rows=10**9)
+    row = op_ok.apply(docs.select("doc_id", "lang")).first()
+    assert row["doc_id"] == sorted(
+        r["doc_id"] for r in docs.select("doc_id").collect())
+
+
 def test_embedding_cosine_dedup(spark):
     import numpy as np
 

@@ -855,7 +855,7 @@ def _q_filter_stopwords_multilang(spark, sf_dir):
     from data_juicer_spark.registry import OPERATORS
 
     op = OPERATORS.get("stopwords_filter")(
-        min_ratio=0.02, lang=["en", "es"], text_key="text")
+        min_ratio=0.02, lang=["en", "es", "fr"], text_key="text")
     df = op.apply(_t(spark, sf_dir, "documents"))
     return df.select(
         "doc_id",
@@ -1766,7 +1766,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      CASE WHEN len({_WORDS}) = 0 THEN 0.0
                           ELSE CAST(len(list_filter({_WORDS},
-                                 w -> list_contains({_stopwords_sql(['en', 'es'])},
+                                 w -> list_contains({_stopwords_sql(['en', 'es', 'fr'])},
                                                     lower(w)))) AS DOUBLE)
                                / len({_WORDS}) END AS ratio
               FROM documents

@@ -191,6 +191,48 @@ def test_simhash_exhaustive_oracle_sf001(docs01, texts01):
     assert spark_kept(op, docs01) == expected
 
 
+def test_simhash_mixer_hamming_tracks_overlap(spark):
+    """Property test for the simhash mixer (VERDICT r2 #7): since bit
+    parity with simhash-pybind is unreachable hermetically, guard the
+    PROPERTY that makes simhash work — expected hamming distance must
+    grow monotonically with shingle-set divergence. A silent mixer
+    regression (e.g. biased bits, broken majority vote) breaks this
+    long before any fixture notices."""
+    rng = np.random.RandomState(7)
+    vocab = ["w%03d" % i for i in range(400)]
+    # window-6 shingling amplifies word edits ~6x, so small word-level
+    # rates already span the full shingle-overlap range
+    rates = [0.0, 0.02, 0.05, 0.12, 0.4]
+    rows, meta = [], []
+    uid = 0
+    for b in range(40):
+        base = list(rng.choice(vocab, size=60))
+        for rate in rates:
+            words = list(base)
+            n_mut = int(round(rate * len(words)))
+            for pos in rng.choice(len(words), size=n_mut, replace=False):
+                words[pos] = "m%d_%d" % (uid, pos)  # guaranteed-new token
+            rows.append((uid, " ".join(base)))
+            rows.append((uid + 1, " ".join(words)))
+            meta.append((uid, uid + 1, rate))
+            uid += 2
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "id long, text string")
+    op = OPERATORS.get("document_simhash_deduplicator")(id_key="id")
+    sig = df.select("id", op._simhash_udf()(F.col("text")).alias("h"))
+    hashes = {r["id"]: r["h"] for r in sig.collect()}
+    by_rate = {r: [] for r in rates}
+    for a, b, rate in meta:
+        by_rate[rate].append(bin((hashes[a] ^ hashes[b]) & (2**64 - 1)).count("1"))
+    means = [float(np.mean(by_rate[r])) for r in rates]
+    assert means[0] == 0.0                       # identical text → hd 0
+    for lo, hi in zip(means, means[1:]):
+        assert lo < hi, f"hamming not monotone in divergence: {means}"
+    assert means[-1] > 20                        # diverged → ≈32 expected
+    assert means[1] < 12                         # near-dup stays near
+
+
 def test_simhash_reference_fixture(spark):
     """Reference unit-test fixture (test_document_simhash_deduplicator.py
     test_english_deduplication: 9 docs → 6 kept). Our shingle hash is

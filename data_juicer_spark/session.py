@@ -73,15 +73,14 @@ def get_spark(
     return spark
 
 
-def ship_package(spark: SparkSession) -> str:
-    """Ship data_juicer_spark to executors — the `spark-submit
-    --py-files dist.zip` equivalent, needed whenever executors are
-    separate JVMs (local-cluster here, a real cluster in production)
-    whose Python workers don't share the driver's sys.path."""
+def build_pyfiles_zip(zip_path: str | None = None) -> str:
+    """Package data_juicer_spark into the zip `spark-submit --py-files`
+    expects (and ship_package addPyFile's). Driver-independent so launch
+    tooling can build it before any session exists."""
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zip_path = os.path.join(
+    zip_path = zip_path or os.path.join(
         os.environ.get("TMPDIR", "/tmp"), "data_juicer_spark_pyfiles.zip"
     )
     with zipfile.ZipFile(zip_path, "w") as zf:
@@ -91,5 +90,14 @@ def ship_package(spark: SparkSession) -> str:
                     full = os.path.join(base, fn)
                     rel = os.path.relpath(full, os.path.dirname(pkg_dir))
                     zf.write(full, rel)
+    return zip_path
+
+
+def ship_package(spark: SparkSession) -> str:
+    """Ship data_juicer_spark to executors — the `spark-submit
+    --py-files dist.zip` equivalent, needed whenever executors are
+    separate JVMs (local-cluster here, a real cluster in production)
+    whose Python workers don't share the driver's sys.path."""
+    zip_path = build_pyfiles_zip()
     spark.sparkContext.addPyFile(zip_path)
     return zip_path

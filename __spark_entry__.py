@@ -1033,12 +1033,16 @@ def _common_bigrams_sql() -> str:
 
 
 def _zh_convert_sql(col: str) -> str:
-    """translate() over the SAME in-repo s2t table the mapper uses."""
-    from data_juicer_spark.assets.zh_convert import S2T
+    """The mapper's s2t pipeline in SQL: phrase replaces (longest-first)
+    then translate() — over the SAME in-repo tables the mapper uses."""
+    from data_juicer_spark.assets.zh_convert import S2T, ST_PHRASES
 
+    out = col
+    for k in sorted(ST_PHRASES, key=len, reverse=True):
+        out = f"replace({out}, '{_sql_quote(k)}', '{_sql_quote(ST_PHRASES[k])}')"
     src = _sql_quote("".join(S2T.keys()))
     dst = _sql_quote("".join(S2T.values()))
-    return f"translate({col}, '{src}', '{dst}')"
+    return f"translate({out}, '{src}', '{dst}')"
 
 
 def _punct_norm_sql(col: str) -> str:

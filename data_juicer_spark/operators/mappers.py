@@ -617,25 +617,62 @@ class RemoveNonChineseCharacterMapper(Mapper):
 
 @OPERATORS.register("chinese_convert_mapper")
 class ChineseConvertMapper(Mapper):
-    """simplified↔traditional conversion (chinese_convert_mapper.py:39-109
-    wraps opencc). Hermetic partial implementation: a compact in-repo
-    one-to-one character table (assets/zh_convert.py) applied with ONE
-    JVM translate() — whole-stage codegen, no Python. mode ∈ {s2t, t2s};
-    opencc's phrase-level and regional configs (s2twp, …) are documented
-    non-goals; unmapped characters pass through."""
+    """simplified↔traditional↔regional↔Japanese conversion
+    (chinese_convert_mapper.py:39-109 wraps opencc; all 14 of its
+    configs supported). Hermetic implementation over compact in-repo
+    tables (assets/zh_convert.py): each mode composes phrase replaces
+    (longest-first) and one-to-one character translate()s — ALL JVM
+    expressions inside whole-stage codegen, no Python. Tables are much
+    smaller than opencc's dictionaries (documented deviation); unmapped
+    characters pass through. Pipelines mirror opencc's composition:
+    s2tw = STPhrases→STCharacters→TWVariants, etc."""
+
+    MODES = ("s2t", "t2s", "s2tw", "tw2s", "s2hk", "hk2s", "s2twp",
+             "tw2sp", "t2tw", "tw2t", "t2hk", "hk2t", "t2jp", "jp2t")
 
     def __init__(self, mode: str = "s2t", **kw):
         super().__init__(**kw)
-        from data_juicer_spark.assets.zh_convert import S2T, T2S
+        from data_juicer_spark.assets import zh_convert as Z
 
-        if mode not in ("s2t", "t2s"):
-            raise ValueError(f"unsupported mode {mode!r} (s2t|t2s)")
-        self.table = S2T if mode == "s2t" else T2S
+        if mode not in self.MODES:
+            raise ValueError(
+                f"unsupported mode {mode!r} (one of {'|'.join(self.MODES)})")
+        self.mode = mode
+        inv = lambda d: {v: k for k, v in d.items()}  # noqa: E731
+        # each step: ("phrase", dict) or ("char", dict), applied in order
+        st_p, twp = Z.ST_PHRASES, Z.TWP_PHRASES
+        tw, hk = Z.TW_VARIANTS, Z.HK_VARIANTS
+        self.steps = {
+            "s2t": [("phrase", st_p), ("char", Z.S2T)],
+            "t2s": [("phrase", inv(st_p)), ("char", Z.T2S)],
+            "s2tw": [("phrase", st_p), ("char", Z.S2T), ("char", tw)],
+            "tw2s": [("char", inv(tw)), ("phrase", inv(st_p)),
+                     ("char", Z.T2S)],
+            "s2twp": [("phrase", twp), ("phrase", st_p), ("char", Z.S2T),
+                      ("char", tw)],
+            "tw2sp": [("phrase", inv(twp)), ("char", inv(tw)),
+                      ("phrase", inv(st_p)), ("char", Z.T2S)],
+            "s2hk": [("phrase", st_p), ("char", Z.S2T), ("char", hk)],
+            "hk2s": [("char", inv(hk)), ("phrase", inv(st_p)),
+                     ("char", Z.T2S)],
+            "t2tw": [("char", tw)],
+            "tw2t": [("char", inv(tw))],
+            "t2hk": [("char", hk)],
+            "hk2t": [("char", inv(hk))],
+            "t2jp": [("char", Z.T2JP)],
+            "jp2t": [("char", Z.JP2T)],
+        }[mode]
 
     def expr(self, col: Column) -> Column:
-        src = "".join(self.table.keys())
-        dst = "".join(self.table.values())
-        return F.translate(col, src, dst)
+        out = col
+        for kind, table in self.steps:
+            if kind == "phrase":
+                for k in sorted(table, key=len, reverse=True):
+                    out = F.replace(out, F.lit(k), F.lit(table[k]))
+            else:
+                out = F.translate(out, "".join(table.keys()),
+                                  "".join(table.values()))
+        return out
 
 
 @OPERATORS.register("python_lambda_mapper")

@@ -545,6 +545,18 @@ def _q_mapper_expand_macro(spark, sf_dir):
     return op.apply(df).select("doc_id", "text")
 
 
+def _q_mapper_nlpaug(spark, sf_dir):
+    """Seeded 1→N text augmentation (nlpaug_en_mapper counterpart) —
+    rows-only (engine-specific seeded RNG; determinism + contract are
+    pytest-asserted in tests/test_augment.py)."""
+    from data_juicer_spark.registry import OPERATORS
+
+    op = OPERATORS.get("nlpaug_en_mapper")(
+        aug_num=1, delete_random_word=True, swap_random_char=True,
+        text_key="text")
+    return op.apply(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+
+
 def _q_dedup_embedding_cosine(spark, sf_dir):
     from data_juicer_spark.registry import OPERATORS
 
@@ -958,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "selector_frequency": _q_selector_frequency,
         "selector_tags": _q_selector_tags,
         "grouper_key_value": _q_grouper_key_value,
+        "mapper_nlpaug": _q_mapper_nlpaug,
     }
 
 

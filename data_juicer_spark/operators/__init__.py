@@ -6,5 +6,6 @@ from data_juicer_spark.operators.base import (  # noqa: F401
     STATS_COL,
 )
 from data_juicer_spark.operators import (  # noqa: F401
-    augment, dedup, filters, groupers, mappers, multimodal, selectors,
+    augment, dedup, download, filters, groupers, mappers, multimodal,
+    selectors,
 )

@@ -690,7 +690,8 @@ def _q_mapper_clean_html(spark, sf_dir):
 def _q_mapper_text_chunk(spark, sf_dir):
     from data_juicer_spark.registry import OPERATORS
 
-    op = OPERATORS.get("text_chunk_mapper")(max_len=120, overlap_len=20, text_key="text")
+    op = OPERATORS.get("text_chunk_mapper")(
+        max_len=120, overlap_len=20, split_pattern=None, text_key="text")
     df = op.apply(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return df.select("doc_id", F.col("chunk_id").cast("long").alias("chunk_id"), "text")
 
@@ -1550,8 +1551,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
                    substr(text, CAST(i * 100 + 1 AS INT), 120) AS text
             FROM documents,
-                 unnest(range(0, greatest(
-                   CAST(ceil((length(text) - 20) / 100.0) AS BIGINT), 1))) AS t(i)
+                 unnest(range(0, CASE WHEN length(text) <= 120 THEN 1
+                   ELSE CAST(ceil(length(text) / 100.0) AS BIGINT) END)) AS t(i)
         """,
         "mapper_python_lambda": """
             SELECT doc_id, upper(text) AS text FROM documents

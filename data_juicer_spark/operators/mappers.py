@@ -8,12 +8,13 @@ Reference cites are into /root/reference/data_juicer/ops/mapper/.
 from __future__ import annotations
 
 import re
+from typing import Optional
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import StringType
+from pyspark.sql.types import ArrayType, StringType
 
 from data_juicer_spark.functions import text as T
 from data_juicer_spark.operators.base import Mapper
@@ -523,26 +524,90 @@ class SentenceSplitMapper(Mapper):
 
 @OPERATORS.register("text_chunk_mapper")
 class TextChunkMapper(Mapper):
-    """split doc into fixed-size chunks, 1→N rows (text_chunk_mapper.py:35-146).
-    Row-expanding: posexplode over a chunked array — stays in Catalyst."""
+    """split doc into chunks, 1→N rows — full reference semantics
+    (text_chunk_mapper.py:35-146): split_pattern only → re.split with
+    separators kept then blanks dropped; max_len only → fixed windows
+    of max_len stepping (max_len - overlap_len); both → recursive cut
+    at the LAST pattern match inside each max_len prefix, overlap-step
+    fallback when no match. HF/tiktoken tokenizers are a model dep —
+    length = characters (documented deviation).
 
-    def __init__(self, max_len: int = 2000, overlap_len: int = 0, **kw):
+    The fixed-window mode stays pure Catalyst (posexplode over a
+    substring transform); pattern modes run re inside an Arrow-batched
+    UDF producing the chunk array, then the same posexplode."""
+
+    def __init__(self, max_len: Optional[int] = None,
+                 split_pattern: Optional[str] = r"\n\n",
+                 overlap_len: int = 0, **kw):
         super().__init__(**kw)
+        if max_len is None and split_pattern is None:
+            raise ValueError("max_len and split_pattern cannot be both None")
+        if max_len is not None and overlap_len >= max_len:
+            raise ValueError("overlap_len must be less than max_len")
         self.max_len = max_len
         self.overlap = overlap_len
+        self.split_pattern = split_pattern
+        if split_pattern is not None:
+            re.compile(split_pattern)  # fail at construction, not on tasks
 
-    def apply(self, df: DataFrame) -> DataFrame:
+    def _chunks_catalyst(self):
+        # reference fixed-window count: 1 chunk when len <= max_len,
+        # else ceil(len / step) windows of max_len each (the final
+        # window may be shorter; a redundant tail window appears when
+        # step divides len — reference-faithful)
         step = self.max_len - self.overlap
-        n_chunks = F.greatest(
-            F.ceil((F.length(F.col(self.text_key)) - F.lit(self.overlap)) / F.lit(step)),
-            F.lit(1),
+        length = F.length(F.col(self.text_key))
+        n_chunks = (
+            F.when(length <= F.lit(self.max_len), F.lit(1))
+            .otherwise(F.ceil(length / F.lit(step)))
         ).cast("int")
-        chunks = F.transform(
+        return F.transform(
             F.sequence(F.lit(0), n_chunks - 1),
             lambda i: F.substring(
                 F.col(self.text_key), (i * step + 1).cast("int"), self.max_len
             ),
         )
+
+    def _chunks_udf(self):
+        pat, max_len, overlap = self.split_pattern, self.max_len, self.overlap
+
+        @pandas_udf(ArrayType(StringType()))
+        def chunk(s: pd.Series) -> pd.Series:
+            reg = re.compile(pat)
+
+            def one(text):
+                if text is None:
+                    return []
+                if max_len is None:
+                    parts = re.split(f"({pat})", text)
+                    return [t for t in parts if t.strip()]
+                # both set: recursive last-match cut (iterative form)
+                out = []
+                t = text
+                while len(t) > max_len:
+                    sub = t[:max_len]
+                    ms = list(reg.finditer(sub))
+                    if not ms:
+                        out.append(sub)
+                        t = t[max_len - overlap:]
+                    else:
+                        last = ms[-1]
+                        out.append(sub[:last.start()])
+                        nxt = t[last.end():]
+                        if len(nxt) >= len(t):  # zero-width safety
+                            out.append(t)
+                            return out
+                        t = nxt
+                out.append(t)
+                return out
+
+            return s.map(one)
+
+        return chunk(F.col(self.text_key))
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        chunks = (self._chunks_catalyst() if self.split_pattern is None
+                  else self._chunks_udf())
         others = [c for c in df.columns if c != self.text_key]
         return (
             df.select(*others, F.posexplode(chunks).alias("chunk_id", self.text_key))

@@ -100,7 +100,7 @@ def test_remove_words_with_incorrect_substrings(spark):
 
 def test_text_chunk_mapper(spark):
     df = spark.createDataFrame([(0, "abcdefghij")], ["id", "text"])
-    op = OPERATORS.get("text_chunk_mapper")(max_len=4)
+    op = OPERATORS.get("text_chunk_mapper")(max_len=4, split_pattern=None)
     out = op.apply(df).orderBy("chunk_id").collect()
     assert [r["text"] for r in out] == ["abcd", "efgh", "ij"]
     assert [r["chunk_id"] for r in out] == [0, 1, 2]

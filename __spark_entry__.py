@@ -1236,7 +1236,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mapper_sentence_split": r"""
             SELECT doc_id,
-                   regexp_replace(text, '(?<=[.!?。！？])\s+', chr(10), 'g') AS text
+                   replace(
+                     regexp_replace(
+                       regexp_replace(text, '([A-Z])\.([A-Z])\.',
+                                      '\1' || chr(2) || '\2' || chr(2), 'g'),
+                       '(?<=[.!?。！？])\s+', chr(10), 'g'),
+                     chr(2), '.') AS text
             FROM documents
         """,
         "dedup_exact": r"""

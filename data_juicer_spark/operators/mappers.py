@@ -515,11 +515,16 @@ class RemoveWordsWithIncorrectSubstringsMapper(Mapper):
 @OPERATORS.register("sentence_split_mapper")
 class SentenceSplitMapper(Mapper):
     """split into sentences, rejoin with \\n (sentence_split_mapper.py:22-47;
-    regex splitter instead of NLTK — hermetic)."""
+    regex splitter instead of NLTK — hermetic). Dotted acronyms
+    (U.S., E.U., …) are protected punkt-style: a letter-dot-letter-dot
+    run is never a sentence boundary (reference golden
+    test_sentence_split_mapper.py:18-32)."""
 
     def expr(self, col: Column) -> Column:
-        # insert newline after sentence-final punctuation + space
-        return F.regexp_replace(col, r"(?<=[.!?。！？])\s+", "\n")
+        protected = F.regexp_replace(
+            col, r"([A-Z])\.([A-Z])\.", "$1\x02$2\x02")
+        split = F.regexp_replace(protected, r"(?<=[.!?。！？])\s+", "\n")
+        return F.translate(split, "\x02", ".")
 
 
 @OPERATORS.register("text_chunk_mapper")

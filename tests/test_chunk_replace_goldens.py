@@ -68,6 +68,48 @@ REPLACE_CASES = [
 ]
 
 
+SENTENCE_CASES = [
+    ("en",
+     "Smithfield employs 3,700 people at its plant in Sioux Falls, "
+     "South Dakota. The plant slaughters 19,500 pigs a day — 5 "
+     "percent of U.S. pork.",
+     "Smithfield employs 3,700 people at its plant in Sioux Falls, "
+     "South Dakota.\nThe plant slaughters 19,500 pigs a day — 5 "
+     "percent of U.S. pork."),
+    ("fr",
+     "Smithfield emploie 3,700 personnes dans son usine de Sioux "
+     "Falls, dans le Dakota du Sud. L'usine abat 19 500 porcs par "
+     "jour, soit 5 % du porc américain.",
+     "Smithfield emploie 3,700 personnes dans son usine de Sioux "
+     "Falls, dans le Dakota du Sud.\nL'usine abat 19 500 porcs par "
+     "jour, soit 5 % du porc américain."),
+    ("pt",
+     "A Smithfield emprega 3.700 pessoas em sua fábrica em Sioux "
+     "Falls, Dakota do Sul. A fábrica abate 19.500 porcos por dia – "
+     "5% da carne suína dos EUA.",
+     "A Smithfield emprega 3.700 pessoas em sua fábrica em Sioux "
+     "Falls, Dakota do Sul.\nA fábrica abate 19.500 porcos por dia – "
+     "5% da carne suína dos EUA."),
+    ("es",
+     "Smithfield emplea a 3.700 personas en su planta de Sioux "
+     "Falls, Dakota del Sur. La planta sacrifica 19.500 cerdos al "
+     "día, el 5 por ciento de la carne de cerdo de EE.",
+     "Smithfield emplea a 3.700 personas en su planta de Sioux "
+     "Falls, Dakota del Sur.\nLa planta sacrifica 19.500 cerdos al "
+     "día, el 5 por ciento de la carne de cerdo de EE."),
+]
+
+
+@pytest.mark.parametrize("lang,text,want",
+                         SENTENCE_CASES, ids=[c[0] for c in SENTENCE_CASES])
+def test_sentence_split_reference_goldens(spark, lang, text, want):
+    """tests/ops/mapper/test_sentence_split_mapper.py:18-82 — incl. the
+    dotted-acronym case (U.S.) punkt handles via its abbreviation model."""
+    df = spark.createDataFrame([(0, text)], "id long, text string")
+    op = OPERATORS.get("sentence_split_mapper")(lang=lang, text_key="text")
+    assert op.apply(df).first()["text"] == want
+
+
 @pytest.mark.parametrize("case_id", range(len(REPLACE_CASES)))
 def test_replace_content_reference_goldens(spark, case_id):
     kwargs, ds, tgt = REPLACE_CASES[case_id]

@@ -747,17 +747,79 @@ class ChineseConvertMapper(Mapper):
 
 @OPERATORS.register("python_lambda_mapper")
 class PythonLambdaMapper(Mapper):
-    """user-supplied vectorized lambda over the text column — the UDF
-    escape hatch (python_lambda_mapper.py:19-77). The lambda receives and
-    returns a pandas.Series (Arrow-batched), never per-row."""
+    """user-supplied lambda — the UDF escape hatch
+    (python_lambda_mapper.py:19-77). Two modes:
 
-    def __init__(self, fn=None, **kw):
+    - reference mode: ``lambda_str`` is a string lambda over the SAMPLE
+      DICT (``"lambda d: {'text': d['text'].lower()}"``), AST-validated
+      at construction exactly like the reference (must be a lambda,
+      exactly one argument; result must be a dict at runtime).
+      ``batched=True`` passes the whole Arrow batch as a dict of column
+      lists. Deviation: Spark plans have a static schema, so the dict
+      must keep the input columns (reference can grow columns per-row).
+    - fast mode: ``fn`` is a callable pandas.Series -> pandas.Series
+      over ``text_key`` (vectorized, preferred for hot paths).
+
+    Empty lambda_str + no fn = identity, as in the reference."""
+
+    def __init__(self, fn=None, lambda_str: str = "", batched: bool = False,
+                 **kw):
         super().__init__(**kw)
-        if fn is None:
-            raise ValueError("python_lambda_mapper requires fn: Series -> Series")
         self.fn = fn
+        self.batched = batched
+        self.lambda_str = lambda_str
+        if lambda_str:
+            self._validate_lambda(lambda_str)  # construction-time, like ref
+
+    @staticmethod
+    def _validate_lambda(lambda_str: str):
+        import ast
+
+        try:
+            node = ast.parse(lambda_str, mode="eval")
+        except SyntaxError as e:
+            raise ValueError(f"Invalid lambda function: {e}")
+        if not isinstance(node.body, ast.Lambda):
+            raise ValueError("Input string must be a valid lambda function.")
+        if len(node.body.args.args) != 1:
+            raise ValueError("Lambda function must have exactly one argument.")
 
     def apply(self, df: DataFrame) -> DataFrame:
-        fn = self.fn
-        udf = pandas_udf(StringType())(lambda s: fn(s))
-        return df.withColumn(self.text_key, udf(F.col(self.text_key)))
+        if self.fn is not None:
+            fn = self.fn
+            udf = pandas_udf(StringType())(lambda s: fn(s))
+            return df.withColumn(self.text_key, udf(F.col(self.text_key)))
+        if not self.lambda_str:
+            return df  # identity (reference default)
+
+        lambda_str, batched, cols = self.lambda_str, self.batched, df.columns
+
+        def run(iterator):
+            # recompile on the executor from the validated source — no
+            # pickled code objects
+            f = eval(compile(__import__("ast").parse(lambda_str, mode="eval"),
+                             "<string>", "eval"), {"__builtins__": __builtins__})
+
+            def check(result):
+                if not isinstance(result, dict):
+                    raise ValueError(
+                        f"Lambda function must return a dictionary, got "
+                        f"{type(result).__name__} instead.")
+                missing = [c for c in cols if c not in result]
+                if missing:
+                    raise ValueError(
+                        f"lambda result dropped column(s) {missing} — Spark "
+                        f"plans need a stable schema (engine deviation from "
+                        f"the reference's dynamic columns)")
+                return result
+
+            for pdf in iterator:
+                if batched:
+                    out = check(f(pdf.to_dict("list")))
+                    yield pd.DataFrame({c: out[c] for c in cols})
+                else:
+                    rows = [check(f(r)) for r in pdf.to_dict("records")]
+                    yield pd.DataFrame(
+                        {c: [r[c] for r in rows] for c in cols})
+
+        return df.mapInPandas(run, schema=df.schema)

@@ -745,6 +745,98 @@ class ChineseConvertMapper(Mapper):
         return out
 
 
+def _apply_dict_transform(df: DataFrame, make_fn, batched: bool,
+                          who: str) -> DataFrame:
+    """Shared sample-dict → dict transform engine for the python_lambda
+    / python_file escape hatches: the user function is rebuilt ON the
+    executor by `make_fn` (closing over plain strings, never pickled
+    code objects) and applied per Arrow batch. Spark plans have a static
+    schema, so the result dict must retain the input columns (documented
+    deviation from the reference's dynamic columns)."""
+    cols = df.columns
+
+    def run(iterator):
+        f = make_fn()
+
+        def check(result):
+            if not isinstance(result, dict):
+                raise ValueError(
+                    f"{who} must return a dictionary, got "
+                    f"{type(result).__name__} instead.")
+            missing = [c for c in cols if c not in result]
+            if missing:
+                raise ValueError(
+                    f"{who} result dropped column(s) {missing} — Spark "
+                    f"plans need a stable schema (engine deviation from "
+                    f"the reference's dynamic columns)")
+            return result
+
+        for pdf in iterator:
+            if batched:
+                out = check(f(pdf.to_dict("list")))
+                yield pd.DataFrame({c: out[c] for c in cols})
+            else:
+                rows = [check(f(r)) for r in pdf.to_dict("records")]
+                yield pd.DataFrame({c: [r[c] for r in rows] for c in cols})
+
+    return df.mapInPandas(run, schema=df.schema)
+
+
+@OPERATORS.register("python_file_mapper")
+class PythonFileMapper(Mapper):
+    """apply a named function from a user .py file to each sample dict
+    (python_file_mapper.py:24-91): reference-identical construction
+    validation (file exists / .py / function present / callable /
+    exactly one argument), dict-result contract, `batched` mode. The
+    file's SOURCE is shipped to executors and exec'd there — works under
+    spark-submit where the driver-local path doesn't exist on workers."""
+
+    def __init__(self, file_path: str = "",
+                 function_name: str = "process_single",
+                 batched: bool = False, **kw):
+        super().__init__(**kw)
+        import inspect
+        import os
+
+        self.file_path = file_path
+        self.function_name = function_name
+        self.batched = batched
+        self.source = None
+        if not file_path:
+            return  # identity, like the reference
+        if not os.path.isfile(file_path):
+            raise FileNotFoundError(f"The file '{file_path}' does not exist.")
+        if not file_path.endswith(".py"):
+            raise ValueError(f"The file '{file_path}' is not a Python file.")
+        with open(file_path) as fh:
+            self.source = fh.read()
+        namespace: dict = {}
+        exec(compile(self.source, file_path, "exec"), namespace)
+        if function_name not in namespace:
+            raise ValueError(
+                f"Function '{function_name}' not found in '{file_path}'.")
+        func = namespace[function_name]
+        if not callable(func):
+            raise ValueError(
+                f"The attribute '{function_name}' is not callable.")
+        if len(inspect.getfullargspec(func).args) != 1:
+            raise ValueError(
+                f"The function '{function_name}' must take exactly one "
+                f"argument")
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        if self.source is None:
+            return df
+        source, name, path = self.source, self.function_name, self.file_path
+
+        def make_fn():
+            namespace: dict = {}
+            exec(compile(source, path, "exec"), namespace)
+            return namespace[name]
+
+        return _apply_dict_transform(df, make_fn, self.batched, "Function")
+
+
 @OPERATORS.register("python_lambda_mapper")
 class PythonLambdaMapper(Mapper):
     """user-supplied lambda — the UDF escape hatch
@@ -792,34 +884,16 @@ class PythonLambdaMapper(Mapper):
         if not self.lambda_str:
             return df  # identity (reference default)
 
-        lambda_str, batched, cols = self.lambda_str, self.batched, df.columns
+        lambda_str = self.lambda_str
 
-        def run(iterator):
+        def make_fn():
             # recompile on the executor from the validated source — no
             # pickled code objects
-            f = eval(compile(__import__("ast").parse(lambda_str, mode="eval"),
-                             "<string>", "eval"), {"__builtins__": __builtins__})
+            import ast
 
-            def check(result):
-                if not isinstance(result, dict):
-                    raise ValueError(
-                        f"Lambda function must return a dictionary, got "
-                        f"{type(result).__name__} instead.")
-                missing = [c for c in cols if c not in result]
-                if missing:
-                    raise ValueError(
-                        f"lambda result dropped column(s) {missing} — Spark "
-                        f"plans need a stable schema (engine deviation from "
-                        f"the reference's dynamic columns)")
-                return result
+            return eval(compile(ast.parse(lambda_str, mode="eval"),
+                                "<string>", "eval"),
+                        {"__builtins__": __builtins__})
 
-            for pdf in iterator:
-                if batched:
-                    out = check(f(pdf.to_dict("list")))
-                    yield pd.DataFrame({c: out[c] for c in cols})
-                else:
-                    rows = [check(f(r)) for r in pdf.to_dict("records")]
-                    yield pd.DataFrame(
-                        {c: [r[c] for r in rows] for c in cols})
-
-        return df.mapInPandas(run, schema=df.schema)
+        return _apply_dict_transform(df, make_fn, self.batched,
+                                     "Lambda function")

@@ -545,6 +545,75 @@ def _q_mapper_expand_macro(spark, sf_dir):
     return op.apply(df).select("doc_id", "text")
 
 
+def _q_mapper_extract_tables(spark, sf_dir):
+    """HTML table extraction over a doc_id-keyed synthetic payload: the
+    op parses the tables distributed (functions/html_tables.py); the
+    oracle derives the expected cell texts independently by integer
+    arithmetic — header-skip mode, multi-table rows, and cell ordering
+    are all observable (reference
+    mapper/extract_tables_from_html_mapper.py:47-88)."""
+    from data_juicer_spark.registry import OPERATORS
+
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<table><tr><th>k</th><th>v</th></tr><tr><td>id</td><td>"),
+        did,
+        F.lit("</td></tr><tr><td>mod</td><td>"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("</td></tr></table>"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("<table><tr><td>x"),
+                        (F.col("doc_id") % 5).cast("string"),
+                        F.lit("</td></tr></table>"))).otherwise(F.lit("")),
+    )
+    df = _t(spark, sf_dir, "documents").select("doc_id", html.alias("text"))
+    op = OPERATORS.get("extract_tables_from_html_mapper")(
+        include_header=False, text_key="text")
+    out = op.apply(df)
+    repr_col = F.array_join(
+        F.transform(
+            "html_tables",
+            lambda t: F.array_join(
+                F.transform(t, lambda r: F.array_join(r, ",")), ";"),
+        ),
+        "|",
+    )
+    return out.select(
+        "doc_id",
+        repr_col.alias("tables_repr"),
+        F.size("html_tables").cast("long").alias("n_tables"),
+    )
+
+
+def _q_filter_audio_size(spark, sf_dir):
+    """audio_size_filter over a binary column synthesized from the doc
+    text (UTF-8 encode on both engines): keeps rows whose payload is
+    200 B – 1 KiB; octet_length runs pure Catalyst (reference
+    filter/audio_size_filter.py:21-71)."""
+    from data_juicer_spark.registry import OPERATORS
+
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("audio"))
+    op = OPERATORS.get("audio_size_filter")(
+        min_size="200", max_size="1kb", media_key="audio")
+    return op.apply(df).select(
+        "doc_id", F.octet_length("audio").cast("long").alias("audio_bytes"))
+
+
+def _q_dedup_video(spark, sf_dir):
+    """video_deduplicator over a binary payload synthesized from the
+    doc text: JVM md5 + keep-min-id; the oracle re-derives keep-first
+    membership from text-group minima (reference
+    deduplicator/video_deduplicator.py:43-90, demux stubbed to raw
+    bytes)."""
+    from data_juicer_spark.registry import OPERATORS
+
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("video"))
+    op = OPERATORS.get("video_deduplicator")(id_key="doc_id")
+    return op.apply(df).select("doc_id")
+
+
 def _q_mapper_nlpaug(spark, sf_dir):
     """Seeded 1→N text augmentation (nlpaug_en_mapper counterpart) —
     rows-only (engine-specific seeded RNG; determinism + contract are
@@ -923,6 +992,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_like": _q_tpch_q3_like,
         # -- new oracle rows this round
         "mapper_expand_macro": _q_mapper_expand_macro,
+        "mapper_extract_tables": _q_mapper_extract_tables,
+        "filter_audio_size": _q_filter_audio_size,
+        "dedup_video": _q_dedup_video,
         "cdc_replay_lake": _q_cdc_replay_lake,
         "cdc_changelog": _q_cdc_changelog,
         # -- rows-only entries (driver records row counts)
@@ -942,11 +1014,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": _q_similarity_topk,
         "group_stats": _q_group_stats,
         "analyzer_summary": _q_analyzer_summary,
+        # ---------------- driver cut (first 50 above) ----------------
         "filter_embd_similarity": _q_filter_embd_similarity,
+        # veterans below were all driver-green in CORRECTNESS_r01+r02
         "quality_score": _q_quality_score,
         "filter_stopwords": _q_filter_stopwords,
-        # ---------------- driver cut (first 50 above) ----------------
-        # veterans below were all driver-green in CORRECTNESS_r01+r02
         "filter_alphanumeric": _q_filter_alphanumeric,
         "filter_avg_line_length": _q_filter_avg_line_length,
         "filter_max_line_length": _q_filter_max_line_length,
@@ -1848,6 +1920,30 @@ def oracle_sql() -> dict[str, str]:
                    || 'use id-' || CAST(doc_id AS VARCHAR)
                    || ', and yy; plus \\djcmdx tail' || chr(10) AS text
             FROM documents
+        """,
+        # extract_tables: expected cell texts derived by integer
+        # arithmetic, independent of the engine's HTML parser (header
+        # row skipped by include_header=False; second table appears for
+        # doc_id % 3 = 0)
+        "mapper_extract_tables": """
+            SELECT doc_id,
+                   'id,' || CAST(doc_id AS VARCHAR)
+                   || ';mod,' || CAST(doc_id % 7 AS VARCHAR)
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN '|x' || CAST(doc_id % 5 AS VARCHAR)
+                           ELSE '' END AS tables_repr,
+                   CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END::BIGINT
+                       AS n_tables
+            FROM documents
+        """,
+        "filter_audio_size": """
+            SELECT doc_id,
+                   octet_length(encode(text))::BIGINT AS audio_bytes
+            FROM documents
+            WHERE octet_length(encode(text)) BETWEEN 200 AND 1024
+        """,
+        "dedup_video": """
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
         """,
         # CDC oracles: the seeded binlog is regenerated SQL-side (every
         # field is a pure function of seq — see _cdc_events_cte), and the

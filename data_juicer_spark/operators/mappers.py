@@ -897,3 +897,40 @@ class PythonLambdaMapper(Mapper):
 
         return _apply_dict_transform(df, make_fn, self.batched,
                                      "Lambda function")
+
+@OPERATORS.register("extract_tables_from_html_mapper")
+class ExtractTablesFromHtmlMapper(Mapper):
+    """extract <table> content into a typed meta column
+    (mapper/extract_tables_from_html_mapper.py:47-88): raw table HTML
+    when retain_html_tags, else nested [table][row][cell] text lists
+    with the reference's recursive find_all semantics (nested tables
+    appear standalone AND inside enclosing tables), direct-child cell
+    collection, and header-row skip via include_header. Parsing runs in
+    an Arrow-batched pandas UDF (stdlib HTMLParser — bs4 is not in this
+    container; semantics reproduced in functions/html_tables.py). A
+    sample whose tables column already exists is left untouched, like
+    the reference's already-generated check."""
+
+    def __init__(self, tables_field_name: str = "html_tables",
+                 retain_html_tags: bool = False,
+                 include_header: bool = True, **kw):
+        super().__init__(**kw)
+        self.tables_field_name = tables_field_name
+        self.retain = retain_html_tags
+        self.include_header = include_header
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        if self.tables_field_name in df.columns:
+            return df  # already generated
+        retain, header = self.retain, self.include_header
+        out_type = (ArrayType(StringType()) if retain
+                    else ArrayType(ArrayType(ArrayType(StringType()))))
+
+        @pandas_udf(out_type)
+        def tables(s: pd.Series) -> pd.Series:
+            from data_juicer_spark.functions.html_tables import \
+                extract_tables
+            return s.map(lambda t: extract_tables(t, retain, header))
+
+        return df.withColumn(self.tables_field_name,
+                             tables(F.col(self.text_key)))

@@ -229,3 +229,159 @@ class VideoFrameSampleMapper(Mapper):
                 yield pd.DataFrame(rows, columns=list(pdf.columns) + ["frame_id", "frame"])
 
         return df.mapInPandas(process, schema=out_schema)
+
+def size_to_bytes(size: str) -> int:
+    """Faithful port of the reference's human-size parser
+    (utils/mm_utils.py:922-953), including its digit-concatenation
+    quirk ("1.5kb" → digits "15" → 15 KiB) — recipes written against
+    the reference must resolve to identical thresholds."""
+    alphas = [c for c in size if c.isalpha()]
+    digits = [c for c in size if c.isdigit()]
+    if not digits:
+        raise ValueError(f"Your input `size` does not contain numbers: {size}")
+    n = int(float("".join(digits)))
+    if not alphas:
+        return n
+    suffix = "".join(alphas).lower()
+    shifts = {"kb": 10, "kib": 10, "mb": 20, "mib": 20, "gb": 30,
+              "gib": 30, "tb": 40, "tib": 40, "pb": 50, "pib": 50}
+    if suffix not in shifts:
+        raise ValueError(f"You specified unidentifiable unit: {suffix}")
+    return n << shifts[suffix]
+
+
+class _MediaSizeFilter(Filter):
+    """Shared engine for audio_size_filter / image_size_filter
+    (filter/audio_size_filter.py:21-71, filter/image_size_filter.py):
+    keep samples whose media payload sizes fall in [min_size, max_size]
+    under an any/all strategy. Sizes come from the in-table binary
+    payload (octet_length, pure Catalyst) or, for path-typed columns,
+    a distributed file stat in an Arrow-batched UDF — no driver I/O.
+    Samples with no media are kept, matching the reference."""
+
+    media_key_default = "audio"
+
+    def __init__(self, min_size: str = "0", max_size: str = "1TB",
+                 any_or_all: str = "any", media_key: Optional[str] = None,
+                 **kw):
+        super().__init__(**kw)
+        self.lo = size_to_bytes(min_size)
+        self.hi = size_to_bytes(max_size)
+        if any_or_all not in ("any", "all"):
+            raise ValueError(
+                f"Keep strategy [{any_or_all}] is not supported. "
+                f'Can only be one of ["any", "all"].')
+        self.any = any_or_all == "any"
+        self.media_key = media_key or self.media_key_default
+
+    def _sizes(self, df: DataFrame) -> F.Column:
+        dt = df.schema[self.media_key].dataType
+        col = F.col(self.media_key)
+        if isinstance(dt, T.BinaryType):
+            return F.array(F.octet_length(col))
+        if isinstance(dt, T.ArrayType) and isinstance(dt.elementType,
+                                                      T.BinaryType):
+            return F.transform(col, F.octet_length)
+        if isinstance(dt, T.StringType):
+            return F.array(_stat_size(col))
+        if isinstance(dt, T.ArrayType) and isinstance(dt.elementType,
+                                                      T.StringType):
+            return F.transform(col, _stat_size)
+        raise ValueError(
+            f"{self.media_key} must be binary/string or an array of "
+            f"them, got {dt.simpleString()}")
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        sizes = self._sizes(df)
+        ok = (lambda s: s.between(self.lo, self.hi))
+        hit = F.exists(sizes, ok) if self.any else F.forall(sizes, ok)
+        empty = F.col(self.media_key).isNull() | (F.size(sizes) == 0)
+        return df.filter(empty | hit)
+
+
+@F.pandas_udf(T.LongType())
+def _stat_size(paths: pd.Series) -> pd.Series:
+    import os
+
+    def stat(p):
+        try:
+            return os.path.getsize(p)
+        except OSError:
+            return -1
+
+    return paths.map(lambda p: stat(p) if p else -1)
+
+
+@OPERATORS.register("audio_size_filter")
+class AudioSizeFilter(_MediaSizeFilter):
+    media_key_default = "audio"
+
+
+@OPERATORS.register("image_size_filter")
+class ImageSizeFilter(_MediaSizeFilter):
+    media_key_default = "image"
+
+
+@OPERATORS.register("image_aspect_ratio_filter")
+class ImageAspectRatioFilter(Filter):
+    """Keep images whose width/height ratio is in range
+    (filter/image_aspect_ratio_filter.py: defaults 0.333–3.0). Runs on
+    the decoded metadata struct like image_shape_filter — decode once
+    upstream, filter in Catalyst."""
+
+    def __init__(self, min_ratio: float = 0.333, max_ratio: float = 3.0,
+                 meta_key: str = "image_meta", **kw):
+        super().__init__(**kw)
+        self.lo, self.hi = min_ratio, max_ratio
+        self.meta_key = meta_key
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        m = self.meta_key
+        ratio = F.col(f"{m}.width") / F.col(f"{m}.height")
+        return df.filter(F.col(f"{m}.decode_error").isNull()
+                         & ratio.between(self.lo, self.hi))
+
+@OPERATORS.register("video_deduplicator")
+class VideoDeduplicator(Deduplicator):
+    """Exact video dedup (deduplicator/video_deduplicator.py:43-90):
+    the reference md5-hashes the container's video-stream packets (PyAV
+    demux — codec dep, stubbed here to the raw payload bytes, same
+    exact-match semantics) and keeps the first sample per hash;
+    consider_text adds the text md5 to the key. Pure Catalyst: JVM md5
+    + groupBy keep-min-id, no Python in the hot path."""
+
+    def __init__(self, video_key: str = "video", consider_text: bool = False,
+                 id_key: Optional[str] = None, text_key: str = "text", **kw):
+        super().__init__(**kw)
+        self.video_key = video_key
+        self.consider_text = consider_text
+        self.id_key = id_key
+        self.text_key = text_key
+
+    def _video_hash(self, df: DataFrame) -> F.Column:
+        dt = df.schema[self.video_key].dataType
+        col = F.col(self.video_key)
+        if isinstance(dt, T.BinaryType):
+            return F.md5(col)
+        if isinstance(dt, T.ArrayType) and isinstance(dt.elementType,
+                                                      T.BinaryType):
+            # all payloads feed one digest in the reference; concat the
+            # byte streams before hashing to mirror that
+            return F.md5(F.aggregate(
+                col, F.lit(b""), lambda acc, x: F.concat(acc, x)))
+        raise ValueError(
+            f"{self.video_key} must be binary or array<binary>, "
+            f"got {dt.simpleString()}")
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        key = self._video_hash(df)
+        if self.consider_text:
+            key = F.concat(key, F.md5(F.col(self.text_key)))
+        order_col = self.id_key or df.columns[0]
+        w = Window.partitionBy("__vhash__").orderBy(F.col(order_col).asc())
+        return (df.withColumn("__vhash__", key)
+                .withColumn("__rn__", F.row_number().over(w))
+                .where(F.col("__rn__") == 1)
+                .drop("__vhash__", "__rn__"))

@@ -1,0 +1,194 @@
+"""Reference-golden parity for extract_tables_from_html_mapper
+(tests/ops/mapper/test_extract_tables_from_html_mapper.py:13-117) and
+unit coverage for the media size / aspect-ratio filters
+(filter/audio_size_filter.py, image_size_filter.py,
+image_aspect_ratio_filter.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+import data_juicer_spark.operators  # noqa: F401
+from data_juicer_spark.functions.html_tables import extract_tables
+from data_juicer_spark.registry import OPERATORS
+
+RAW_HTML = """
+    <!DOCTYPE html>
+            <html lang="zh">
+            <head>
+                <meta charset="UTF-8">
+                <title>表格示例</title>
+            </head>
+            <body>
+                <h1>表格示例</h1>
+                <table border="1">
+                    <thead>
+                        <tr>
+                            <th>姓名</th>
+                            <th>年龄</th>
+                            <th>城市</th>
+                        </tr>
+                    </thead>
+                    <tbody>
+                        <tr>
+                            <td>张三</td>
+                            <td>25</td>
+                            <td>北京</td>
+                        </tr>
+                        <tr>
+                            <td>李四</td>
+                            <td>30</td>
+                            <td>上海</td>
+                        </tr>
+                        <tr>
+                            <td>王五</td>
+                            <td>28</td>
+                            <td>广州</td>
+                        </tr>
+                    </tbody>
+                </table>
+            </body>
+            </html>
+    """
+
+BODY_ROWS = [["张三", "25", "北京"], ["李四", "30", "上海"],
+             ["王五", "28", "广州"]]
+HEADER_ROW = ["姓名", "年龄", "城市"]
+
+
+def _tables(spark, text, **kw):
+    op = OPERATORS.get("extract_tables_from_html_mapper")(**kw)
+    df = spark.createDataFrame([(text,)], "text string")
+    return op.apply(df).first()["html_tables"]
+
+
+def test_retain_html_tags(spark):
+    got = _tables(spark, RAW_HTML, retain_html_tags=True)
+    assert len(got) == 1
+    assert got[0].startswith('<table border="1">')
+    assert got[0].endswith("</table>")
+    assert "张三" in got[0]
+
+
+def test_extract_tables_include_header(spark):
+    assert _tables(spark, RAW_HTML) == [[HEADER_ROW] + BODY_ROWS]
+
+
+def test_extract_tables_without_header(spark):
+    assert _tables(spark, RAW_HTML, include_header=False) == [BODY_ROWS]
+
+
+def test_multiple_tables(spark):
+    got = _tables(spark, RAW_HTML + RAW_HTML)
+    assert got == [[HEADER_ROW] + BODY_ROWS] * 2
+
+
+def test_large_html_content(spark):
+    large = "<html>" + "".join(
+        f"<table><tr><td>Row {i}</td></tr></table>" for i in range(1000)
+    ) + "</html>"
+    got = _tables(spark, large)
+    assert len(got) == 1000
+    assert got[0] == [["Row 0"]]
+    assert got[999] == [["Row 999"]]
+
+
+def test_no_tables(spark):
+    got = _tables(spark, "<html><body>No tables here!</body></html>")
+    assert got == []
+
+
+def test_existing_column_untouched(spark):
+    op = OPERATORS.get("extract_tables_from_html_mapper")()
+    df = spark.createDataFrame([("<table><tr><td>x</td></tr></table>",
+                                 ["keep"])],
+                               "text string, html_tables array<string>")
+    assert op.apply(df).first()["html_tables"] == ["keep"]
+
+
+def test_nested_table_recursive_semantics():
+    # bs4 find_all is recursive: inner table standalone AND its row
+    # accumulated into the outer table; outer cell text includes inner
+    nested = ("<table><tr><td>outer"
+              "<table><tr><td>inner</td></tr></table>"
+              "</td></tr></table>")
+    assert extract_tables(nested) == [
+        [["outerinner"], ["inner"]], [["inner"]]]
+
+
+# ---- size filters ----------------------------------------------------
+
+def test_audio_size_filter_binary_any(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x" * 100)), (2, bytearray(b"x" * 5000)),
+         (3, None)],
+        "id long, audio binary")
+    op = OPERATORS.get("audio_size_filter")(min_size="1kb", max_size="1mb")
+    got = sorted(r["id"] for r in op.apply(df).collect())
+    assert got == [2, 3]  # no-audio sample kept, like the reference
+
+
+def test_image_size_filter_array_all_vs_any(spark):
+    df = spark.createDataFrame(
+        [(1, [bytearray(b"x" * 10), bytearray(b"x" * 9000)]),
+         (2, [bytearray(b"x" * 2000), bytearray(b"x" * 3000)]),
+         (3, [])],
+        "id long, image array<binary>")
+    any_ids = sorted(r["id"] for r in OPERATORS.get("image_size_filter")(
+        min_size="1kb", max_size="8kb").apply(df).collect())
+    all_ids = sorted(r["id"] for r in OPERATORS.get("image_size_filter")(
+        min_size="1kb", max_size="8kb", any_or_all="all").apply(df).collect())
+    assert any_ids == [2, 3]
+    assert all_ids == [2, 3]
+
+
+def test_audio_size_filter_paths(spark, tmp_path):
+    small = tmp_path / "a.bin"
+    small.write_bytes(b"x" * 10)
+    big = tmp_path / "b.bin"
+    big.write_bytes(b"x" * 4000)
+    df = spark.createDataFrame(
+        [(1, str(small)), (2, str(big)), (3, str(tmp_path / "missing"))],
+        "id long, audio string")
+    op = OPERATORS.get("audio_size_filter")(min_size="1kb", max_size="1mb")
+    got = sorted(r["id"] for r in op.apply(df).collect())
+    assert got == [2]  # missing file stats to -1 → filtered
+
+
+def test_size_filter_bad_strategy():
+    with pytest.raises(ValueError, match="not supported"):
+        OPERATORS.get("audio_size_filter")(any_or_all="some")
+
+
+def test_image_aspect_ratio_filter(spark):
+    rows = [(1, (100, 50, 3, "fake", None)),    # ratio 2.0 keep
+            (2, (100, 20, 3, "fake", None)),    # ratio 5.0 drop
+            (3, (None, None, None, None, "boom"))]
+    df = spark.createDataFrame(
+        rows, "id long, image_meta struct<width:int,height:int,"
+              "n_channels:int,format:string,decode_error:string>")
+    op = OPERATORS.get("image_aspect_ratio_filter")()
+    got = sorted(r["id"] for r in op.apply(df).collect())
+    assert got == [1]
+
+
+def test_video_deduplicator(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"aa"), "t1"), (2, bytearray(b"aa"), "t2"),
+         (3, bytearray(b"bb"), "t1")],
+        "id long, video binary, text string")
+    op = OPERATORS.get("video_deduplicator")(id_key="id")
+    assert sorted(r["id"] for r in op.apply(df).collect()) == [1, 3]
+    op2 = OPERATORS.get("video_deduplicator")(id_key="id",
+                                              consider_text=True)
+    assert sorted(r["id"] for r in op2.apply(df).collect()) == [1, 2, 3]
+
+
+def test_video_deduplicator_array_concat(spark):
+    # all payloads feed one digest, like the reference's packet loop
+    df = spark.createDataFrame(
+        [(1, [bytearray(b"a"), bytearray(b"b")]), (2, [bytearray(b"ab")]),
+         (3, [bytearray(b"c")])],
+        "id long, video array<binary>")
+    op = OPERATORS.get("video_deduplicator")(id_key="id")
+    assert sorted(r["id"] for r in op.apply(df).collect()) == [1, 3]

@@ -220,3 +220,27 @@ def test_prefix_sum_survives_small_arrow_batches(spark):
         assert got == {v: 2 * v for v in range(500)}
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_media_size_filter_binary_is_pure_catalyst(spark):
+    """audio/image size filters over binary payloads must stay JVM-side
+    (octet_length in codegen — no Python in the plan)."""
+    df = spark.createDataFrame([(1, bytearray(b"x" * 300))],
+                               "id long, audio binary")
+    op = OPERATORS.get("audio_size_filter")(min_size="200", max_size="1kb")
+    plan = plan_of(op.apply(df))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "[codegen id :" in plan
+
+
+def test_video_dedup_is_pure_catalyst_single_shuffle(spark):
+    """video_deduplicator = JVM md5 + one hash-partitioned window: no
+    Python stage, exactly one exchange, and the exchange is keyed on the
+    hash (parallel at any scale — not a global window)."""
+    df = spark.createDataFrame([(1, bytearray(b"aa"))],
+                               "id long, video binary")
+    op = OPERATORS.get("video_deduplicator")(id_key="id")
+    plan = plan_of(op.apply(df))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("+- Exchange") == 1  # tree line (details repeat it)
+    assert "SinglePartition" not in plan

@@ -1005,9 +1005,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "selector_random": _q_selector_random,
         "similarity_lsh": _q_similarity_lsh,
         "similarity_ivf": _q_similarity_ivf,
+        "mapper_nlpaug": _q_mapper_nlpaug,
         # -- representative veterans (driver-green r01+r02)
         "filter_text_length": _q_filter_text_length,
-        "filter_words_num": _q_filter_words_num,
         "dedup_exact": _q_dedup_exact,
         "selector_topk": _q_selector_topk,
         "selector_range": _q_selector_range,
@@ -1043,7 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "selector_frequency": _q_selector_frequency,
         "selector_tags": _q_selector_tags,
         "grouper_key_value": _q_grouper_key_value,
-        "mapper_nlpaug": _q_mapper_nlpaug,
+        "filter_words_num": _q_filter_words_num,
     }
 
 
@@ -1310,8 +1310,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    replace(
                      regexp_replace(
-                       regexp_replace(text, '([A-Z])\.([A-Z])\.',
-                                      '\1' || chr(2) || '\2' || chr(2), 'g'),
+                       regexp_replace(
+                         regexp_replace(text, '([A-Z])\.([A-Z])\.',
+                                        '\1' || chr(2) || '\2' || chr(2), 'g'),
+                         chr(2) || '([A-Z])\.',
+                         chr(2) || '\1' || chr(2), 'g'),
                        '(?<=[.!?。！？])\s+', chr(10), 'g'),
                      chr(2), '.') AS text
             FROM documents

@@ -111,8 +111,9 @@ def _en_spelling_word(text, rng):
 def _en_split_word(text, rng):
     ws = _words(text)
     out = []
+    picked = _pick(rng, len(ws))  # one draw, like the sibling methods
     for i, w in enumerate(ws):
-        if len(w) >= 4 and i in _pick(rng, len(ws)):
+        if len(w) >= 4 and i in picked:
             j = rng.randint(1, len(w) - 1)
             out.append(w[:j] + " " + w[j:])
         else:
@@ -269,7 +270,10 @@ class _AugmentMapper(Mapper):
         def variants(s: pd.Series) -> pd.Series:
             def one(text):
                 if text is None:
-                    return []
+                    # null rows pass through untouched (engine-wide
+                    # null contract) instead of vanishing in the
+                    # explode; nothing to augment, so keep=False drops
+                    return [None] if keep else []
                 out = [text] if keep else []
                 if sequential:
                     for k in range(aug_num):

@@ -47,6 +47,12 @@ def _fetch_one(url: str, save_dir: Optional[str], want_bytes: bool,
             return (None, None, "failed", "empty url")
         save_path = None
         if save_dir:
+            # executor-side: the driver's makedirs doesn't exist on
+            # remote workers under yarn/k8s
+            os.makedirs(save_dir, exist_ok=True)
+            # NOTE: save path is keyed on the URL basename, like the
+            # reference — two URLs sharing a basename collide on the
+            # same file (and resume returns whichever landed first)
             save_path = os.path.join(save_dir, os.path.basename(
                 url.split("?")[0].rstrip("/")) or "download")
             if resume and os.path.exists(save_path):
@@ -64,7 +70,13 @@ def _fetch_one(url: str, save_dir: Optional[str], want_bytes: bool,
             with open(url, "rb") as f:
                 content = f.read()
         if save_path:
-            tmp = f"{save_path}.part-{os.getpid()}"
+            import threading
+            import uuid
+
+            # unique per writer: pid alone collides when two pool
+            # threads in one task hit the same basename concurrently
+            tmp = (f"{save_path}.part-{os.getpid()}-"
+                   f"{threading.get_ident()}-{uuid.uuid4().hex[:8]}")
             with open(tmp, "wb") as f:
                 f.write(content)
             os.replace(tmp, save_path)  # atomic: no torn files on retry

@@ -24,8 +24,12 @@ class NaiveGrouper(Grouper):
     Faithful to the reference's semantics, which are inherently
     driver-bound (ONE row holding every value) — so `max_rows` guards
     the collapse: the plan raises (JVM-side, during the same agg job —
-    no extra action) instead of silently assembling a row that would OOM
-    the final task at scale. Raise or disable (None) deliberately."""
+    no extra action) instead of silently assembling the row. The guard
+    is best-effort: it is a result expression, so it fires after the
+    final task has merged its collect_list buffers — it fails fast for
+    moderate overruns but cannot pre-empt an OOM that happens during
+    the merge itself. At scale, group with key_value_grouper (bounded
+    groups) instead; this op exists for reference-recipe parity."""
 
     def __init__(self, id_key: Optional[str] = None,
                  max_rows: Optional[int] = 1_000_000, **kw):

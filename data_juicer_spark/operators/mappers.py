@@ -523,6 +523,10 @@ class SentenceSplitMapper(Mapper):
     def expr(self, col: Column) -> Column:
         protected = F.regexp_replace(
             col, r"([A-Z])\.([A-Z])\.", "$1\x02$2\x02")
+        # second pass catches the odd trailing initial the
+        # non-overlapping first pass leaves behind (U.S.A. → …\x02A.)
+        protected = F.regexp_replace(
+            protected, "(\x02)([A-Z])\\.", "$1$2\x02")
         split = F.regexp_replace(protected, r"(?<=[.!?。！？])\s+", "\n")
         return F.translate(split, "\x02", ".")
 

@@ -518,7 +518,9 @@ class SentenceSplitMapper(Mapper):
     regex splitter instead of NLTK — hermetic). Dotted acronyms
     (U.S., E.U., …) are protected punkt-style: a letter-dot-letter-dot
     run is never a sentence boundary (reference golden
-    test_sentence_split_mapper.py:18-32)."""
+    test_sentence_split_mapper.py:18-32). Uses \\x02 as an internal
+    sentinel: a literal U+0002 in the input would be restored as '.'
+    (control chars are stripped upstream by the cleaning mappers)."""
 
     def expr(self, col: Column) -> Column:
         protected = F.regexp_replace(

@@ -385,3 +385,132 @@ class VideoDeduplicator(Deduplicator):
                 .withColumn("__rn__", F.row_number().over(w))
                 .where(F.col("__rn__") == 1)
                 .drop("__vhash__", "__rn__"))
+
+def _row_rng(data: bytes, salt: str) -> np.random.RandomState:
+    """Seeded per-row RNG keyed on the payload — deterministic and
+    shuffle/partition-independent (same pattern as the augment
+    mappers)."""
+    h = hashlib.sha256((salt.encode() + (data or b""))).digest()
+    return np.random.RandomState(int.from_bytes(h[:4], "little"))
+
+
+@OPERATORS.register("audio_add_gaussian_noise_mapper")
+class AudioAddGaussianNoiseMapper(Mapper):
+    """Add Gaussian noise to audio payloads
+    (mapper/audio_add_gaussian_noise_mapper.py:31-60 — audiomentations'
+    AddGaussianNoise): amplitude drawn uniformly in
+    [min_amplitude, max_amplitude] (linear, full-scale 1.0), applied
+    with probability p per sample. Audio is PCM int16 bytes (the same
+    contract as audio_duration_filter; container codecs are the stubbed
+    step) and the DSP itself is real vectorized numpy inside an
+    Arrow-batched UDF. Per-row RNG is payload-seeded, so results are
+    independent of partitioning."""
+
+    def __init__(self, min_amplitude: float = 0.001,
+                 max_amplitude: float = 0.015, p: float = 0.5,
+                 audio_key: str = "audio", **kw):
+        super().__init__(**kw)
+        if min_amplitude >= max_amplitude:
+            raise ValueError("min_amplitude must be < max_amplitude")
+        self.min_amp, self.max_amp = min_amplitude, max_amplitude
+        self.p = p
+        self.audio_key = audio_key
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql.functions import pandas_udf
+
+        lo, hi, p = self.min_amp, self.max_amp, self.p
+
+        @pandas_udf(T.BinaryType())
+        def add_noise(s: pd.Series) -> pd.Series:
+            def one(data):
+                if data is None or len(data) < 2:
+                    return data  # no audio: unchanged, like the reference
+                rng = _row_rng(data, "gauss_noise")
+                if rng.rand() >= p:
+                    return data
+                pcm = np.frombuffer(
+                    data[:len(data) // 2 * 2], dtype="<i2")
+                amp = rng.uniform(lo, hi)
+                noisy = pcm.astype(np.float32) / 32768.0 \
+                    + rng.randn(len(pcm)).astype(np.float32) * amp
+                out = np.clip(noisy * 32768.0, -32768, 32767)
+                return out.astype("<i2").tobytes()
+
+            return s.map(one)
+
+        return df.withColumn(self.audio_key, add_noise(F.col(self.audio_key)))
+
+
+def _blur_kernel_1d(blur_type: str, radius: float) -> np.ndarray:
+    """Separable 1-D kernel: box/mean = uniform (PIL BoxBlur / the
+    fixed 5x5 BLUR filter), gaussian = sampled normal pdf truncated at
+    ~2.5 sigma like PIL's GaussianBlur."""
+    if blur_type == "mean":
+        return np.ones(5) / 5.0
+    r = max(int(round(radius)), 0)
+    if r == 0:
+        return np.ones(1)
+    if blur_type == "box":
+        return np.ones(2 * r + 1) / (2 * r + 1)
+    sigma = max(radius, 1e-6)
+    xs = np.arange(-r, r + 1, dtype=np.float64)
+    k = np.exp(-(xs ** 2) / (2 * sigma * sigma))
+    return k / k.sum()
+
+
+@OPERATORS.register("image_blur_mapper")
+class ImageBlurMapper(Mapper):
+    """Blur images with probability p (mapper/image_blur_mapper.py:29-67):
+    blur_type in {mean, box, gaussian}, kernel radius as in PIL. The
+    separable convolution is real numpy (edge-replicate padding, like
+    PIL); only the image DECODE is stubbed (fake_decode), so the output
+    payload is raw RGB bytes with width/height prepended into the
+    companion meta column by image_metadata_mapper downstream. Per-row
+    RNG is payload-seeded (partitioning-independent)."""
+
+    def __init__(self, p: float = 0.2, blur_type: str = "gaussian",
+                 radius: float = 2, image_key: str = "image",
+                 fake_decode: bool = True, **kw):
+        super().__init__(**kw)
+        if blur_type not in ("mean", "box", "gaussian"):
+            raise ValueError(
+                f"Blur_type [{blur_type}] is not supported. "
+                f'Can only be one of ["mean", "box", "gaussian"]. ')
+        if radius < 0:
+            raise ValueError("Radius must be >= 0. ")
+        self.p = p
+        self.blur_type = blur_type
+        self.radius = radius
+        self.image_key = image_key
+        self.fake = fake_decode
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql.functions import pandas_udf
+
+        p, fake = self.p, self.fake
+        kernel = _blur_kernel_1d(self.blur_type, self.radius)
+
+        @pandas_udf(T.BinaryType())
+        def blur(s: pd.Series) -> pd.Series:
+            def one(data):
+                if data is None:
+                    return data
+                rng = _row_rng(data, "image_blur")
+                if rng.rand() >= p:
+                    return data
+                arr = _decode_image(data, fake).astype(np.float64)
+                pad = len(kernel) // 2
+                if pad:
+                    # separable convolution, edge-replicate like PIL
+                    a = np.pad(arr, ((pad, pad), (0, 0), (0, 0)), "edge")
+                    arr = np.apply_along_axis(
+                        lambda m: np.convolve(m, kernel, "valid"), 0, a)
+                    a = np.pad(arr, ((0, 0), (pad, pad), (0, 0)), "edge")
+                    arr = np.apply_along_axis(
+                        lambda m: np.convolve(m, kernel, "valid"), 1, a)
+                return np.clip(arr, 0, 255).astype(np.uint8).tobytes()
+
+            return s.map(one)
+
+        return df.withColumn(self.image_key, blur(F.col(self.image_key)))

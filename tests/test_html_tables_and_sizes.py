@@ -192,3 +192,59 @@ def test_video_deduplicator_array_concat(spark):
         "id long, video array<binary>")
     op = OPERATORS.get("video_deduplicator")(id_key="id")
     assert sorted(r["id"] for r in op.apply(df).collect()) == [1, 3]
+
+
+def test_audio_gaussian_noise(spark):
+    import numpy as np
+    pcm = (np.sin(np.linspace(0, 20, 4000)) * 8000).astype("<i2").tobytes()
+    df = spark.createDataFrame([(1, bytearray(pcm)), (2, None)],
+                               "id long, audio binary")
+    op = OPERATORS.get("audio_add_gaussian_noise_mapper")(
+        min_amplitude=0.01, max_amplitude=0.02, p=1.0)
+    rows = {r["id"]: r["audio"] for r in op.apply(df).collect()}
+    assert rows[2] is None                       # no audio → unchanged
+    assert rows[1] is not None and bytes(rows[1]) != pcm
+    noisy = np.frombuffer(bytes(rows[1]), dtype="<i2")
+    orig = np.frombuffer(pcm, dtype="<i2")
+    # noise amplitude bounded: rms error within a few hundred LSB
+    rms = float(np.sqrt(np.mean((noisy.astype(float) - orig) ** 2)))
+    assert 100 < rms < 2000
+    # deterministic (payload-seeded RNG): second run identical
+    again = {r["id"]: r["audio"] for r in op.apply(df).collect()}
+    assert bytes(again[1]) == bytes(rows[1])
+    # p=0 → identity
+    op0 = OPERATORS.get("audio_add_gaussian_noise_mapper")(p=0.0)
+    assert bytes(op0.apply(df).collect()[0]["audio"]) == pcm
+
+
+def test_audio_gaussian_noise_validation():
+    with pytest.raises(ValueError, match="min_amplitude must be <"):
+        OPERATORS.get("audio_add_gaussian_noise_mapper")(
+            min_amplitude=0.5, max_amplitude=0.1)
+
+
+def test_image_blur_mapper(spark):
+    import numpy as np
+    df = spark.createDataFrame([(1, bytearray(b"img-payload-1"))],
+                               "id long, image binary")
+    op = OPERATORS.get("image_blur_mapper")(p=1.0, blur_type="gaussian",
+                                            radius=2)
+    out = bytes(op.apply(df).collect()[0]["image"])
+    from data_juicer_spark.operators.multimodal import _decode_image
+    arr = _decode_image(b"img-payload-1", True)
+    assert len(out) == arr.size                  # raw RGB, same shape
+    blurred = np.frombuffer(out, dtype=np.uint8).reshape(arr.shape)
+    # blur reduces spatial variance of the random fake image
+    assert blurred.astype(float).var() < arr.astype(float).var() * 0.8
+    # deterministic
+    assert bytes(op.apply(df).collect()[0]["image"]) == out
+    # p=0 → identity
+    op0 = OPERATORS.get("image_blur_mapper")(p=0.0)
+    assert bytes(op0.apply(df).collect()[0]["image"]) == b"img-payload-1"
+
+
+def test_image_blur_validation():
+    with pytest.raises(ValueError, match="not supported"):
+        OPERATORS.get("image_blur_mapper")(blur_type="motion")
+    with pytest.raises(ValueError, match="Radius must be"):
+        OPERATORS.get("image_blur_mapper")(radius=-1)

@@ -24,7 +24,7 @@ _FORMAT_BY_EXT = {
     "jsonl": "json", "json": "json", "parquet": "parquet", "csv": "csv",
     "tsv": "tsv", "txt": "text", "text": "text", "md": "text",
     "bin": "binaryFile", "png": "binaryFile", "jpg": "binaryFile",
-    "wav": "binaryFile", "mp4": "binaryFile",
+    "wav": "binaryFile", "mp4": "binaryFile", "tfrecord": "tfrecord",
 }
 
 
@@ -56,6 +56,9 @@ class DatasetBuilder:
             return reader.text(path).withColumnRenamed("value", "text")
         if fmt == "binaryFile":
             return reader.format("binaryFile").load(path)
+        if fmt == "tfrecord":
+            from data_juicer_spark.sources.tfrecord import read_tfrecord
+            return read_tfrecord(self.spark, path)
         raise ValueError(f"unsupported format {fmt!r}")
 
     def load(self, configs: List[dict] | List[str],
@@ -131,6 +134,20 @@ class Exporter:
                         f"webdataset target {path!r} exists (mode={mode!r})")
             write_webdataset(df, path, wds_columns, key_col=key_col,
                              num_shards=num_shards)
+            return
+        if fmt == "tfrecord":
+            import os as _os
+            import shutil as _shutil
+
+            from data_juicer_spark.sources.tfrecord import write_tfrecord
+
+            if _os.path.isdir(path):
+                if mode == "overwrite":
+                    _shutil.rmtree(path)
+                elif mode != "append":
+                    raise ValueError(
+                        f"tfrecord target {path!r} exists (mode={mode!r})")
+            write_tfrecord(df, path, num_shards=num_shards)
             return
         if num_shards:
             df = df.repartition(num_shards)

@@ -248,3 +248,35 @@ def test_image_blur_validation():
         OPERATORS.get("image_blur_mapper")(blur_type="motion")
     with pytest.raises(ValueError, match="Radius must be"):
         OPERATORS.get("image_blur_mapper")(radius=-1)
+
+
+def test_ffmpeg_command_construction():
+    from data_juicer_spark.operators.multimodal import build_ffmpeg_command
+    cmd = build_ffmpeg_command(
+        "/in/a.mp4", "/out/a.video_ffmpeg_wrapped_mapper.mp4", "-vf",
+        "scale", {"width": 224, "height": 224}, ["-threads", "1"], True)
+    assert cmd == ["ffmpeg", "-y", "-i", "/in/a.mp4", "-vf",
+                   "scale=width=224:height=224", "-threads", "1",
+                   "/out/a.video_ffmpeg_wrapped_mapper.mp4"]
+    # no kwargs → bare filter name; no overwrite → no -y
+    cmd2 = build_ffmpeg_command("i.wav", "o.wav", "-af", "loudnorm",
+                                None, None, False)
+    assert cmd2 == ["ffmpeg", "-i", "i.wav", "-af", "loudnorm", "o.wav"]
+
+
+def test_ffmpeg_wrapped_identity_and_dlq(spark, tmp_path):
+    df = spark.createDataFrame([(1, str(tmp_path / "v.mp4"))],
+                               "id long, video string")
+    # no filter_name → identity passthrough (reference contract)
+    ident = OPERATORS.get("video_ffmpeg_wrapped_mapper")()
+    assert ident.apply(df).columns == ["id", "video"]
+    # with a filter but no ffmpeg binary → per-row DLQ failure, not a crash
+    import shutil
+    op = OPERATORS.get("audio_ffmpeg_wrapped_mapper")(
+        filter_name="loudnorm", media_key="video")
+    row = op.apply(df).first()
+    if shutil.which("ffmpeg") is None:
+        assert row["video_status"] == "failed"
+        assert "ffmpeg binary not on" in row["video_error"]
+    else:  # real ffmpeg present: bad input file still lands in DLQ
+        assert row["video_status"] == "failed"

@@ -636,3 +636,65 @@ class AudioFFmpegWrappedMapper(_FFmpegWrappedMapper):
     stream_flag = "-af"
     media_key_default = "audio"
     op_name = "audio_ffmpeg_wrapped_mapper"
+
+@OPERATORS.register("image_resize_mapper")
+class ImageResizeMapper(Mapper):
+    """Resize images to (width, height) — the resize half of the
+    reference's image transform family (e.g.
+    mapper/video_resize_resolution_mapper.py's PIL/ffmpeg resize).
+    Nearest or bilinear interpolation in real numpy (vectorized index
+    arithmetic, half-pixel centers like PIL); decode is the stubbed
+    step, output is raw RGB bytes matching image_blur_mapper's
+    contract."""
+
+    def __init__(self, width: int, height: int,
+                 interpolation: str = "bilinear",
+                 image_key: str = "image", fake_decode: bool = True, **kw):
+        super().__init__(**kw)
+        if width < 1 or height < 1:
+            raise ValueError("width and height must be >= 1")
+        if interpolation not in ("nearest", "bilinear"):
+            raise ValueError(
+                f"interpolation [{interpolation}] is not supported. "
+                f'Can only be one of ["nearest", "bilinear"].')
+        self.w, self.h = width, height
+        self.interpolation = interpolation
+        self.image_key = image_key
+        self.fake = fake_decode
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql.functions import pandas_udf
+
+        w, h, interp, fake = self.w, self.h, self.interpolation, self.fake
+
+        @pandas_udf(T.BinaryType())
+        def resize(s: pd.Series) -> pd.Series:
+            def one(data):
+                if data is None:
+                    return data
+                arr = _decode_image(data, fake).astype(np.float64)
+                sh, sw = arr.shape[:2]
+                # half-pixel-center source coordinates (PIL convention)
+                xs = (np.arange(w) + 0.5) * sw / w - 0.5
+                ys = (np.arange(h) + 0.5) * sh / h - 0.5
+                if interp == "nearest":
+                    xi = np.clip(np.round(xs).astype(int), 0, sw - 1)
+                    yi = np.clip(np.round(ys).astype(int), 0, sh - 1)
+                    out = arr[np.ix_(yi, xi)]
+                else:
+                    x0 = np.clip(np.floor(xs).astype(int), 0, sw - 1)
+                    x1 = np.clip(x0 + 1, 0, sw - 1)
+                    y0 = np.clip(np.floor(ys).astype(int), 0, sh - 1)
+                    y1 = np.clip(y0 + 1, 0, sh - 1)
+                    fx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+                    fy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+                    out = (arr[np.ix_(y0, x0)] * (1 - fy) * (1 - fx)
+                           + arr[np.ix_(y0, x1)] * (1 - fy) * fx
+                           + arr[np.ix_(y1, x0)] * fy * (1 - fx)
+                           + arr[np.ix_(y1, x1)] * fy * fx)
+                return np.clip(np.round(out), 0, 255) \
+                    .astype(np.uint8).tobytes()
+
+            return s.map(one)
+
+        return df.withColumn(self.image_key, resize(F.col(self.image_key)))

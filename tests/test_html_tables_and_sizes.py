@@ -280,3 +280,28 @@ def test_ffmpeg_wrapped_identity_and_dlq(spark, tmp_path):
         assert "ffmpeg binary not on" in row["video_error"]
     else:  # real ffmpeg present: bad input file still lands in DLQ
         assert row["video_status"] == "failed"
+
+
+def test_image_resize_mapper(spark):
+    import numpy as np
+
+    from data_juicer_spark.operators.multimodal import _decode_image
+
+    df = spark.createDataFrame([(1, bytearray(b"resize-me"))],
+                               "id long, image binary")
+    op = OPERATORS.get("image_resize_mapper")(width=8, height=6)
+    out = bytes(op.apply(df).collect()[0]["image"])
+    assert len(out) == 8 * 6 * 3                 # raw RGB at target shape
+    # identity resize (same dims, nearest) reproduces the source pixels
+    arr = _decode_image(b"resize-me", True)
+    ident = OPERATORS.get("image_resize_mapper")(
+        width=arr.shape[1], height=arr.shape[0], interpolation="nearest")
+    assert bytes(ident.apply(df).collect()[0]["image"]) == arr.tobytes()
+    # bilinear mean is preserved within rounding
+    small = np.frombuffer(out, np.uint8).reshape(6, 8, 3)
+    assert abs(float(small.mean()) - float(arr.mean())) < 16
+    with pytest.raises(ValueError, match="not supported"):
+        OPERATORS.get("image_resize_mapper")(width=4, height=4,
+                                             interpolation="lanczos")
+    with pytest.raises(ValueError, match=">= 1"):
+        OPERATORS.get("image_resize_mapper")(width=0, height=4)

@@ -588,7 +588,7 @@ class TextChunkMapper(Mapper):
 
             def one(text):
                 if text is None:
-                    return []
+                    return [None]  # null passthrough (engine contract)
                 if max_len is None:
                     parts = re.split(f"({pat})", text)
                     return [t for t in parts if t.strip()]
@@ -619,6 +619,10 @@ class TextChunkMapper(Mapper):
     def apply(self, df: DataFrame) -> DataFrame:
         chunks = (self._chunks_catalyst() if self.split_pattern is None
                   else self._chunks_udf())
+        # posexplode drops null/empty arrays — null text must pass
+        # through as one null chunk (engine null contract)
+        chunks = F.when(F.col(self.text_key).isNull(),
+                        F.array(F.lit(None).cast("string"))).otherwise(chunks)
         others = [c for c in df.columns if c != self.text_key]
         return (
             df.select(*others, F.posexplode(chunks).alias("chunk_id", self.text_key))

@@ -69,6 +69,10 @@ class ImageMetadataMapper(Mapper):
         self.fake = fake_decode
 
     def apply(self, df: DataFrame) -> DataFrame:
+        if self.meta_key in df.columns:
+            # already generated (reference already-computed check) —
+            # appending would duplicate the column name in the schema
+            return df
         out_schema = T.StructType(
             list(df.schema.fields) + [T.StructField(self.meta_key, IMAGE_META_SCHEMA)]
         )

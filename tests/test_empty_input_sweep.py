@@ -63,3 +63,35 @@ def test_op_handles_empty_input(spark, empty_df, name):
         pytest.fail(f"{name} crashed on empty input: {e}")
     if name not in COLLAPSING:
         assert n == 0, f"{name} fabricated {n} rows from empty input"
+
+
+@pytest.fixture(scope="module")
+def null_row_df(spark):
+    from pyspark.sql import Row
+    schema = ("doc_id long, text string, lang string, field string,"
+              " tags array<string>, audio binary, image binary,"
+              " video binary, embedding array<float>,"
+              " embedding_b array<float>,"
+              " image_meta struct<width:int,height:int,n_channels:int,"
+              "format:string,decode_error:string>")
+    null_row = (1, None, None, None, None, None, None, None, None, None,
+                None)
+    real_row = (2, "a real text with several words.", "en", "x",
+                ["t"], bytearray(b"\x01\x02" * 50), bytearray(b"img"),
+                bytearray(b"vid"), [1.0, 0.0], [0.0, 1.0],
+                (4, 4, 3, "fake", None))
+    return spark.createDataFrame([null_row, real_row], schema)
+
+
+@pytest.mark.parametrize("name", _registry_names())
+def test_mapper_keeps_null_rows(spark, null_row_df, name):
+    """Mappers must not silently DROP a row whose payload is null —
+    the engine-wide null contract (filters/dedups/selectors may)."""
+    from data_juicer_spark.operators.base import Mapper
+
+    op = OPERATORS.get(name)(**PARAMS.get(name, {}))
+    if not isinstance(op, Mapper):
+        pytest.skip("not a mapper")
+    ids = {r["doc_id"] for r in op.apply(null_row_df).collect()}
+    assert 1 in ids, f"{name} dropped the null-payload row"
+    assert 2 in ids, f"{name} dropped a real row"

@@ -95,3 +95,38 @@ def test_mapper_keeps_null_rows(spark, null_row_df, name):
     ids = {r["doc_id"] for r in op.apply(null_row_df).collect()}
     assert 1 in ids, f"{name} dropped the null-payload row"
     assert 2 in ids, f"{name} dropped a real row"
+
+
+@pytest.fixture(scope="module")
+def edge_corpus_df(spark):
+    texts = [
+        "",                                    # empty
+        "   \n\t  ",                           # whitespace only
+        "emoji 😀🎉 mixed 中文文本 and عربى",    # multi-script
+        "ctrl\x02chars\x00here",               # control bytes
+        "w" * 5000,                            # one huge token
+        "a.b.C.D. U.S.A. end. Next.",          # dotted edge
+        "<table><tr><td>x</td></tr>",          # truncated markup
+    ]
+    rows = [(i, t, "en", "x", ["t"], bytearray(b"\x01" * 64),
+             bytearray(b"i"), bytearray(b"v"), [1.0, 0.0], [0.0, 1.0],
+             (4, 4, 3, "fake", None)) for i, t in enumerate(texts)]
+    return spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, field string,"
+        " tags array<string>, audio binary, image binary, video binary,"
+        " embedding array<float>, embedding_b array<float>,"
+        " image_meta struct<width:int,height:int,n_channels:int,"
+        "format:string,decode_error:string>")
+
+
+@pytest.mark.parametrize("name", _registry_names())
+def test_op_survives_edge_corpus(spark, edge_corpus_df, name):
+    """No operator may crash on degenerate text: empty, whitespace-only,
+    multi-script, control bytes, one huge token, truncated markup.
+    (Dropping rows is fine — filters do; raising is not.)"""
+    op = OPERATORS.get(name)(**PARAMS.get(name, {}))
+    try:
+        op.apply(edge_corpus_df).count()
+    except Exception as e:
+        pytest.fail(f"{name} crashed on edge corpus: {e}")

@@ -1,0 +1,60 @@
+"""Hand-ported reference goldens for filters whose machine-ported
+fixture coverage was thin: suffix (tests/ops/filter/
+test_suffix_filter.py:20-75), specified_numeric_field
+(test_specified_numeric_field_filter.py:24-80, incl. the nested
+`meta.star` field key), alphanumeric char mode
+(test_alphanumeric_filter.py:10-41)."""
+
+from __future__ import annotations
+
+import data_juicer_spark.operators  # noqa: F401
+from data_juicer_spark.registry import OPERATORS
+
+SUFFIX_ROWS = [("Today is Sun", ".pdf"),
+               ("a v s e c s f e f g a a a  ", ".docx"),
+               ("中文也是一个字算一个长度", ".txt"),
+               ("，。、„”“«»１」「《》´∶：？！", ".html"),
+               ("dasdasdasdasdasdasdasd", ".py")]
+
+
+def test_suffix_filter_golden(spark):
+    df = spark.createDataFrame(SUFFIX_ROWS, "text string, suffix string")
+    op = OPERATORS.get("suffix_filter")(suffixes=[".txt", ".pdf"])
+    got = sorted(r["text"] for r in op.apply(df).collect())
+    assert got == sorted(["Today is Sun", "中文也是一个字算一个长度"])
+
+
+def test_suffix_filter_none_case(spark):
+    # no suffixes configured → keep everything (reference test_none_case)
+    df = spark.createDataFrame(SUFFIX_ROWS, "text string, suffix string")
+    op = OPERATORS.get("suffix_filter")(suffixes=[])
+    assert op.apply(df).count() == 5
+
+
+def test_specified_numeric_field_nested_key(spark):
+    rows = [("Today is Sun", (".pdf", 50.0)),
+            ("a v s e c s f e f g a a a  ", (".docx", 6.0)),
+            ("中文也是一个字算一个长度", (".txt", 100.0)),
+            ("，。、„”“«»１」「《》´∶：？！", (".html", 12.51)),
+            ("dasdasdasdasdasdasdasd", (None, None))]
+    df = spark.createDataFrame(
+        rows, "text string, meta struct<suffix:string,star:double>")
+    op = OPERATORS.get("specified_numeric_field_filter")(
+        field_key="meta.star", min_value=10, max_value=70)
+    got = sorted(r["text"] for r in op.apply(df).collect())
+    assert got == sorted(["Today is Sun", "，。、„”“«»１」「《》´∶：？！"])
+
+
+def test_alphanumeric_filter_char_golden(spark):
+    texts = ["a=1\nb\nc=1+2+3+5\nd=6",
+             "Today is Sund Sund Sund Sunda and it's a happy day!\nYou know",
+             "a v s e e f g a qkc",
+             "，。、„”“«»１」「《》´∶：？！（）；–—．～’…━〈〉【】％►",
+             "Do you need a cup of coffee?",
+             "emoji表情测试下😊，😸31231\n"]
+    expected = [t for t in texts
+                if t != "，。、„”“«»１」「《》´∶：？！（）；–—．～’…━〈〉【】％►"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    op = OPERATORS.get("alphanumeric_filter")(min_ratio=0.2, max_ratio=0.9)
+    got = sorted(r["text"] for r in op.apply(df).collect())
+    assert got == sorted(expected)

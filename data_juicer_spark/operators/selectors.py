@@ -21,6 +21,31 @@ def _resolve(field_key: str):
     return F.col(field_key)
 
 
+def _numeric_sort_key(df: DataFrame, field_key: str, reverse: bool):
+    """The reference's stats_to_number contract
+    (utils/common_utils.py:11-26): strings parse as floats, lists take
+    their mean, and None / unparseable / empty collapse to ∓maxsize so
+    they always sort LAST in the chosen direction. Expressed as one
+    Catalyst column: cast-to-double (null on failure) / array mean,
+    then coalesce to ±Infinity."""
+    from pyspark.sql import types as T
+
+    col = _resolve(field_key)
+    dt = df.select(col).schema[0].dataType
+    if isinstance(dt, T.ArrayType):
+        vals = F.transform(col, lambda x: x.try_cast("double"))
+        key = F.when(
+            F.size(col) > 0,
+            F.aggregate(vals, F.lit(0.0), lambda a, x: a + x)
+            / F.size(col))
+    else:
+        # try_cast: unparseable strings become null (ANSI-safe), which
+        # the sentinel then sends to the end — stats_to_number parity
+        key = col.try_cast("double")
+    sentinel = float("-inf") if reverse else float("inf")
+    return F.coalesce(key, F.lit(sentinel))
+
+
 @OPERATORS.register("topk_specified_field_selector")
 class TopkSpecifiedFieldSelector(Selector):
     """top-k (or top-ratio) rows by a (nested) field
@@ -38,8 +63,8 @@ class TopkSpecifiedFieldSelector(Selector):
         self.id_key = id_key
 
     def apply(self, df: DataFrame) -> DataFrame:
-        col = _resolve(self.field_key)
-        if self.topk is not None:
+        col = _numeric_sort_key(df, self.field_key, self.reverse)
+        if self.topk is not None and self.top_ratio is None:
             order = [col.desc() if self.reverse else col.asc()]
             if self.id_key:
                 order.append(F.col(self.id_key).asc())
@@ -59,11 +84,15 @@ class TopkSpecifiedFieldSelector(Selector):
         cnts = df.groupBy(col.alias("__v__")).agg(
             F.count(F.lit(1)).alias("__w__"))
         cum, n = exclusive_prefix_sum(cnts, "__v__", "__w__", out="__below__")
-        k = max(int(n * (self.top_ratio or 1.0)), 1)
+        # reference semantics (topk_specified_field_selector.py:66-75):
+        # select_num = ratio*n, reduced to topk when topk is smaller;
+        # int-truncated (0 rows for a tiny ratio is faithful)
+        k = int(n * (self.top_ratio if self.top_ratio is not None else 1.0))
+        if self.topk is not None:
+            k = min(k, self.topk)
         if self.reverse:
             # rows above in DESC order = n - (rows below in ASC) - ties;
-            # null group ranks last (asc puts nulls first → above = n - w),
-            # matching desc_nulls_last
+            # the ∓inf sentinel group lands last in either direction
             cum = cum.withColumn(
                 "__above__", F.lit(n) - F.col("__below__") - F.col("__w__"))
         else:

@@ -1,0 +1,62 @@
+"""Reference goldens for topk_specified_field_selector
+(tests/ops/selector/test_topk_specified_field_selector.py:17-679):
+nested dotted field keys, min(top_ratio·n, topk) when both are set,
+None → ∓maxsize sentinel (always sorts last), string values parsed as
+floats ('' unparseable → last), original-order tiebreak (doc_id here).
+"""
+
+from __future__ import annotations
+
+import data_juicer_spark.operators  # noqa: F401
+from data_juicer_spark.registry import OPERATORS
+
+NUM_KEY2 = [34.0, 243.0, None, 18.0, 551.0, 89.0, 354.32, 354.32, 33.0,
+            18.0]
+ASC_KEY2 = [34.0, 243.0, None, 18.0, 551.0, 89.0, 354.32, 354.32, 33.0,
+            2.0]
+STR_KEY2 = ["34", "243", "", None, "551", "89", "354.32", "354.32",
+            "33", "2"]
+
+
+def _df(spark, key2_vals, typ):
+    rows = [(i, (((v,),),)) for i, v in enumerate(key2_vals)]
+    return spark.createDataFrame(
+        rows, f"doc_id long, meta struct<key1:struct<key2:"
+              f"struct<count:{typ}>>>")
+
+
+def _select(spark, key2_vals, typ, **kw):
+    op = OPERATORS.get("topk_specified_field_selector")(
+        field_key="meta.key1.key2.count", id_key="doc_id", **kw)
+    return sorted(r["doc_id"]
+                  for r in op.apply(_df(spark, key2_vals, typ)).collect())
+
+
+def test_topratio_select(spark):
+    # n=10, ratio .2 → 2 < topk 5; tie at 354.32 broken by earlier row
+    got = _select(spark, NUM_KEY2, "double",
+                  top_ratio=0.2, topk=5, reverse=True)
+    assert got == [4, 6]
+
+
+def test_topk_select(spark):
+    # ratio .5 → 5, topk 4 is smaller
+    got = _select(spark, NUM_KEY2, "double",
+                  top_ratio=0.5, topk=4, reverse=True)
+    assert got == [1, 4, 6, 7]
+
+
+def test_reverse_select(spark):
+    # ascending: None sentinel sorts last, both 18s beat 33? no — k=3:
+    # 2.0, 18.0 (earlier of the two), 18.0 → reference picks 2,18,18?
+    # reference tgt is [2, 18, 33] because its ds has ONE 18 here
+    got = _select(spark, ASC_KEY2, "double",
+                  top_ratio=0.5, topk=3, reverse=False)
+    assert got == [3, 8, 9]
+
+
+def test_str_select(spark):
+    # strings parse as floats; '' and None → +maxsize sentinel (last)
+    got = _select(spark, STR_KEY2, "string",
+                  top_ratio=0.5, topk=3, reverse=False)
+    assert got == [0, 8, 9]

@@ -161,7 +161,10 @@ class RangeSpecifiedFieldSelector(Selector):
     def apply(self, df: DataFrame) -> DataFrame:
         from data_juicer_spark.functions.ranks import exclusive_prefix_sum
 
-        col = _resolve(self.field_key)
+        # stats_to_number parity (reference
+        # range_specified_field_selector.py:105): strings parse as
+        # floats, None/unparseable → -maxsize (ranks first)
+        col = _numeric_sort_key(df, self.field_key, reverse=True)
         cnts = df.groupBy(col.alias("__v__")).agg(F.count(F.lit(1)).alias("__w__"))
         cum, n = exclusive_prefix_sum(cnts, "__v__", "__w__", out="__below__")
         # null-SAFE equi-join: a null field value is its own rank group

@@ -114,23 +114,43 @@ class FrequencySpecifiedFieldSelector(Selector):
     (frequency_specified_field_selector.py:52-93)."""
 
     def __init__(self, field_key: str = "", topk: Optional[int] = None,
-                 top_ratio: Optional[float] = None, **kw):
+                 top_ratio: Optional[float] = None, reverse: bool = True,
+                 id_key: Optional[str] = None, **kw):
         super().__init__(**kw)
         self.field_key = field_key
         self.topk = topk
         self.top_ratio = top_ratio
+        self.reverse = reverse  # True = most frequent first (reference)
+        self.id_key = id_key
 
     def apply(self, df: DataFrame) -> DataFrame:
         col = _resolve(self.field_key)
-        freq = df.groupBy(col.alias("__fv__")).count()
-        k = self.topk
-        if k is None:
+        # reference breaks count ties by FIRST APPEARANCE (stable sort
+        # over insertion order) — id_key reproduces that; without one,
+        # ties break on the value itself (deterministic under shuffle)
+        tie = (F.min(self.id_key) if self.id_key
+               else F.min(F.lit(0))).alias("__first__")
+        freq = df.groupBy(col.alias("__fv__")).agg(
+            F.count(F.lit(1)).alias("count"), tie)
+        if self.top_ratio is not None:
+            # reference: ratio of DISTINCT value groups, reduced to
+            # topk when smaller (frequency_...selector.py:79-88); the
+            # count() runs on the tiny distinct table, not the dataset
             n = freq.count()
-            k = max(int(n * (self.top_ratio or 1.0)), 1)
-        top = freq.orderBy(F.col("count").desc(), F.col("__fv__").asc()).limit(k)
-        # broadcast semi-join: top-k value set is tiny by construction
+            k = int(n * self.top_ratio)
+            if self.topk is not None:
+                k = min(k, self.topk)
+        else:
+            k = self.topk if self.topk is not None else freq.count()
+        order = F.col("count").desc() if self.reverse else F.col("count").asc()
+        top = freq.orderBy(order, F.col("__first__").asc(),
+                           F.col("__fv__").asc()).limit(k)
+        # broadcast semi-join: top-k value set is tiny by construction;
+        # null-safe so a null value group selected into the top-k keeps
+        # its rows (None is a legal group in the reference)
         return df.join(
-            F.broadcast(top.select("__fv__")), col == F.col("__fv__"), "left_semi"
+            F.broadcast(top.select("__fv__")), col.eqNullSafe(F.col("__fv__")),
+            "left_semi"
         )
 
 

@@ -60,3 +60,47 @@ def test_str_select(spark):
     got = _select(spark, STR_KEY2, "string",
                   top_ratio=0.5, topk=3, reverse=False)
     assert got == [0, 8, 9]
+
+
+# -- frequency selector (test_frequency_specified_field_selector.py) --
+
+FREQ_SUFFIX = [".pdf", ".docx", ".txt", ".html", ".pdf", ".py", ".java",
+               ".html", ".pdf", ".xml"]
+FREQ_COUNTS = [34.0, 243.0, None, 34.0, 551.0, 89.0, 354.32, 354.32,
+               34.0, 18.0]
+
+
+def _freq_select(spark, vals, typ, **kw):
+    rows = [(i, (((v,),),)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, f"doc_id long, meta struct<key1:struct<key2:"
+              f"struct<count:{typ}>>>")
+    op = OPERATORS.get("frequency_specified_field_selector")(
+        field_key="meta.key1.key2.count", id_key="doc_id", **kw)
+    return sorted(r["doc_id"] for r in op.apply(df).collect())
+
+
+def test_freq_topratio_select(spark):
+    # 7 distinct suffixes, ratio .3 → int(2.1)=2 groups (.pdf ×3, .html ×2)
+    rows = [(i, (v,)) for i, v in enumerate(FREQ_SUFFIX)]
+    df = spark.createDataFrame(rows,
+                               "doc_id long, meta struct<suffix:string>")
+    op = OPERATORS.get("frequency_specified_field_selector")(
+        field_key="meta.suffix", top_ratio=0.3, topk=5, id_key="doc_id")
+    got = sorted(r["doc_id"] for r in op.apply(df).collect())
+    assert got == [0, 3, 4, 7, 8]
+
+
+def test_freq_topk_select(spark):
+    # ratio .4 → 2.8, topk 2 smaller → groups 34 (×3) and 354.32 (×2)
+    got = _freq_select(spark, FREQ_COUNTS, "double",
+                       top_ratio=0.4, topk=2)
+    assert got == [0, 3, 6, 7, 8]
+
+
+def test_freq_reverse_select(spark):
+    # ascending count, ties broken by first appearance: 243 (row 1),
+    # then the None group (row 2) — None is a legal value group
+    got = _freq_select(spark, FREQ_COUNTS, "double",
+                       top_ratio=0.4, topk=2, reverse=False)
+    assert got == [1, 2]

@@ -1354,12 +1354,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang FROM documents WHERE lang IN (SELECT lang FROM top)
         """,
+        # reference rank-window semantics (range_specified_field_selector
+        # .py:80-117): bounds int(pct*n); subset = nsmallest(k_hi) by
+        # (value, doc_id), then stable nlargest(k_hi-k_lo) — expressed
+        # as a second row_number over (value DESC, rank ASC)
         "selector_range": """
-            SELECT doc_id, n_chars FROM (
+            WITH ranked AS (
               SELECT doc_id, n_chars,
-                     percent_rank() OVER (ORDER BY n_chars ASC, doc_id ASC) AS pr
+                     row_number() OVER (ORDER BY n_chars ASC, doc_id ASC)
+                       - 1 AS r,
+                     count(*) OVER () AS n
               FROM documents
-            ) WHERE pr >= 0.25 AND pr <= 0.75
+            ), sub AS (
+              SELECT *, floor(0.25 * n) AS k_lo, floor(0.75 * n) AS k_hi
+              FROM ranked
+            ), s AS (
+              SELECT *, row_number() OVER (ORDER BY n_chars DESC, r ASC)
+                       - 1 AS r2
+              FROM sub WHERE r < k_hi
+            )
+            SELECT doc_id, n_chars FROM s WHERE r2 < k_hi - k_lo
         """,
         "selector_tags": """
             SELECT doc_id, source FROM documents WHERE source IN ('src0', 'src3')

@@ -156,53 +156,78 @@ class FrequencySpecifiedFieldSelector(Selector):
 
 @OPERATORS.register("range_specified_field_selector")
 class RangeSpecifiedFieldSelector(Selector):
-    """keep the percentile window [lower,upper] of the sorted field
-    (range_specified_field_selector.py:64-117), EXACT percent_rank
-    semantics without the single-task global window:
+    """keep the RANK window of the ascending-sorted field — the
+    reference's exact semantics (range_specified_field_selector.py:
+    71-117): bounds are int-truncated rank positions,
+    lower = max(int(lower_percentile·n), lower_rank) and
+    upper = min(int(upper_percentile·n), upper_rank), clamped to
+    lower ≤ upper; field values go through stats_to_number (floats,
+    list means, None/unparseable → -maxsize ranking first). Ties are
+    ordered by id_key (the reference's heapq stability keys on dataset
+    order), and a tie group crossing the LOWER bound keeps its
+    earliest members, mirroring the reference's stable nlargest pass.
 
-      rank(row) = (#rows with smaller value) + (tie position by id_key)
-      pr        = rank / (n - 1)
-
-    The "#rows below" term comes from an exact distributed prefix sum
-    over the DISTINCT-value count table (functions/ranks.py — one
-    range-partition shuffle + a #partitions-row driver action); the tie
-    position is a window PARTITIONED by the value, so no stage funnels
-    the dataset through one task. Without id_key, ties share the rank of
-    their first row — identical to SQL percent_rank over the value alone.
+    Distributed shape: rank(row) = (#rows with smaller value, via the
+    exact distributed prefix sum over the DISTINCT-value table —
+    functions/ranks.py) + (tie position from a window PARTITIONED by
+    the value) — no stage funnels the dataset through one task.
     """
 
-    def __init__(self, field_key: str = "", lower_percentile: float = 0.0,
-                 upper_percentile: float = 1.0, id_key: Optional[str] = None, **kw):
+    def __init__(self, field_key: str = "",
+                 lower_percentile: Optional[float] = None,
+                 upper_percentile: Optional[float] = None,
+                 lower_rank: Optional[int] = None,
+                 upper_rank: Optional[int] = None,
+                 id_key: Optional[str] = None, **kw):
         super().__init__(**kw)
         self.field_key = field_key
-        self.lo, self.hi = lower_percentile, upper_percentile
+        self.lo_pct, self.hi_pct = lower_percentile, upper_percentile
+        self.lo_rank, self.hi_rank = lower_rank, upper_rank
         self.id_key = id_key
 
     def apply(self, df: DataFrame) -> DataFrame:
         from data_juicer_spark.functions.ranks import exclusive_prefix_sum
 
-        # stats_to_number parity (reference
-        # range_specified_field_selector.py:105): strings parse as
-        # floats, None/unparseable → -maxsize (ranks first)
+        if not self.field_key:
+            return df
+        if self.lo_pct is None and self.lo_rank is None:
+            return df  # reference early-return contract
+        if self.hi_pct is None and self.hi_rank is None:
+            return df
+
         col = _numeric_sort_key(df, self.field_key, reverse=True)
         cnts = df.groupBy(col.alias("__v__")).agg(F.count(F.lit(1)).alias("__w__"))
         cum, n = exclusive_prefix_sum(cnts, "__v__", "__w__", out="__below__")
-        # null-SAFE equi-join: a null field value is its own rank group
-        # (sorts first, like SQL percent_rank's NULLS FIRST), not a
-        # silently dropped row
-        joined = df.join(cum.select("__v__", "__below__"),
+
+        k_lo, k_hi = 0, n
+        if self.lo_pct is not None:
+            k_lo = int(self.lo_pct * n)
+        if self.lo_rank is not None:
+            k_lo = max(k_lo, self.lo_rank)
+        if self.hi_pct is not None:
+            k_hi = int(self.hi_pct * n)
+        if self.hi_rank is not None:
+            k_hi = min(k_hi, self.hi_rank)
+        k_hi = max(k_lo, k_hi)
+
+        # null-SAFE equi-join: the sentinel makes __v__ non-null, but
+        # eqNullSafe keeps the join robust to a future key change
+        joined = df.join(cum.select("__v__", "__below__", "__w__"),
                          col.eqNullSafe(F.col("__v__")))
-        if self.id_key:
-            w = Window.partitionBy(col).orderBy(F.col(self.id_key).asc())
-            idx = F.col("__below__") + F.row_number().over(w) - 1
-        else:
-            idx = F.col("__below__")
-        pr = F.when(F.lit(n) > 1, idx / F.lit(float(n - 1))).otherwise(F.lit(0.0))
-        return (
-            joined.withColumn("__pr__", pr)
-            .where((F.col("__pr__") >= self.lo) & (F.col("__pr__") <= self.hi))
-            .drop("__v__", "__below__", "__pr__")
-        )
+        order_col = self.id_key or df.columns[0]
+        w = Window.partitionBy("__v__").orderBy(F.col(order_col).asc())
+        p = F.row_number().over(w) - 1          # tie position
+        g0 = F.col("__below__")
+        # group size inside the nsmallest(k_hi) subset
+        gs = F.greatest(F.lit(0),
+                        F.least(g0 + F.col("__w__"), F.lit(k_hi)) - g0)
+        pc = F.col("__p__")
+        keep = ((g0 + pc < F.lit(k_hi))         # inside the subset
+                # a tie group crossing k_lo keeps its EARLIEST members
+                # (stable-nlargest parity): p slots = g0 + gs - k_lo
+                & (pc < g0 + gs - F.lit(k_lo)))
+        return (joined.withColumn("__p__", p).where(keep)
+                .drop("__v__", "__below__", "__w__", "__p__"))
 
 
 @OPERATORS.register("random_selector")

@@ -104,3 +104,59 @@ def test_freq_reverse_select(spark):
     got = _freq_select(spark, FREQ_COUNTS, "double",
                        top_ratio=0.4, topk=2, reverse=False)
     assert got == [1, 2]
+
+
+# -- range selector (test_range_specified_field_selector.py) ----------
+
+def _range_select(spark, vals, typ, **kw):
+    rows = [(i, (((v,),),)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, f"doc_id long, meta struct<key1:struct<key2:"
+              f"struct<count:{typ}>>>")
+    op = OPERATORS.get("range_specified_field_selector")(
+        field_key="meta.key1.key2.count", id_key="doc_id", **kw)
+    return sorted(r["doc_id"] for r in op.apply(df).collect())
+
+
+def test_range_percentile_select(spark):
+    vals = [5.0, 63.0, 23.0, 48.0, 78.0, 3.0, 67.0, 32.0, 33.0, 48.0]
+    rows = [(i, ((v,),)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, meta struct<key1:struct<count:double>>")
+    op = OPERATORS.get("range_specified_field_selector")(
+        field_key="meta.key1.count", lower_percentile=0.78,
+        upper_percentile=0.9, lower_rank=5, upper_rank=10,
+        id_key="doc_id")
+    got = sorted(r["doc_id"] for r in op.apply(df).collect())
+    assert got == [1, 6]  # values 63 and 67 (ranks 7 and 8)
+
+
+def test_range_rank_select(spark):
+    vals = [34.0, 243.0, None, 18.0, 551.0, 89.0, 354.32, 354.32, 33.0,
+            18.0]
+    got = _range_select(spark, vals, "double", lower_percentile=0.3,
+                        upper_percentile=1.0, lower_rank=7, upper_rank=9)
+    assert got == [6, 7]  # the two 354.32 rows
+
+
+def test_range_percentile_rank_select(spark):
+    vals = [34.0, 243.0, None, 18.0, 551.0, 89.0, 354.32, 354.32, 33.0,
+            2.0]
+    got = _range_select(spark, vals, "double", lower_percentile=0.7,
+                        upper_percentile=1.0, lower_rank=3, upper_rank=9)
+    assert got == [6, 7]
+
+
+def test_range_list_select(spark):
+    vals = [[34.0], [243.0], [], None, [551.0], [89.0], [354.32],
+            [354.32], [33.0, 33.0], [2.0, 2.0]]
+    got = _range_select(spark, vals, "array<double>",
+                        lower_percentile=0.0, upper_percentile=0.5,
+                        lower_rank=2, upper_rank=4)
+    assert got == [8, 9]  # list means 33.0 and 2.0 at ranks 2, 3
+
+
+def test_range_no_bounds_identity(spark):
+    vals = [1.0, 2.0, 3.0]
+    got = _range_select(spark, vals, "double")
+    assert got == [0, 1, 2]  # reference early-return contract

@@ -65,9 +65,12 @@ class NaiveGrouper(Grouper):
 class KeyValueGrouper(Grouper):
     """group rows by key columns into batched rows (key_value_grouper.py:19-51)."""
 
-    def __init__(self, group_by_keys: List[str] = (), id_key: Optional[str] = None, **kw):
+    def __init__(self, group_by_keys: Optional[List[str]] = None,
+                 id_key: Optional[str] = None, **kw):
         super().__init__(**kw)
-        self.keys = list(group_by_keys)
+        # reference default: group by the text column itself when no
+        # keys are given (key_value_grouper.py:30)
+        self.keys = list(group_by_keys) if group_by_keys else [self.text_key]
         self.id_key = id_key
 
     def apply(self, df: DataFrame) -> DataFrame:

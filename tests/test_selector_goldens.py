@@ -160,3 +160,42 @@ def test_range_no_bounds_identity(spark):
     vals = [1.0, 2.0, 3.0]
     got = _range_select(spark, vals, "double")
     assert got == [0, 1, 2]  # reference early-return contract
+
+
+# -- groupers (tests/ops/grouper/test_*.py) ---------------------------
+
+def test_key_value_grouper_golden(spark):
+    rows = [(0, "Today is Sunday and it's a happy day!", ("en",)),
+            (1, "Welcome to Alibaba.", ("en",)),
+            (2, "欢迎来到阿里巴巴！", ("zh",))]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, meta struct<language:string>")
+    op = OPERATORS.get("key_value_grouper")(
+        group_by_keys=["meta.language"], id_key="doc_id")
+    by_lang = {row[0]: row["text"] for row in op.apply(df).collect()}
+    assert by_lang["en"] == ["Today is Sunday and it's a happy day!",
+                             "Welcome to Alibaba."]
+    assert by_lang["zh"] == ["欢迎来到阿里巴巴！"]
+
+
+def test_key_value_grouper_defaults_to_text(spark):
+    # no keys → group by the text column itself (reference default)
+    df = spark.createDataFrame([(0, "a"), (1, "a"), (2, "b")],
+                               "doc_id long, text string")
+    op = OPERATORS.get("key_value_grouper")(id_key="doc_id")
+    got = {r["text"]: sorted(r["doc_id"]) for r in op.apply(df).collect()}
+    assert got == {"a": [0, 1], "b": [2]}
+
+
+def test_naive_then_reverse_roundtrip_golden(spark):
+    texts = ["Today is Sunday and it's a happy day!",
+             "Sur la plateforme MT4, plusieurs manières d'accéder à \n"
+             "ces fonctionnalités sont conçues simultanément.",
+             "欢迎来到阿里巴巴！"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    batched = OPERATORS.get("naive_grouper")(id_key="doc_id").apply(df)
+    row = batched.first()
+    assert row["text"] == texts  # one batched row, dataset order
+    back = OPERATORS.get("naive_reverse_grouper")().apply(batched)
+    assert sorted(r["text"] for r in back.collect()) == sorted(texts)

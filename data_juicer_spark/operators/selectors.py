@@ -233,7 +233,11 @@ class RangeSpecifiedFieldSelector(Selector):
 @OPERATORS.register("random_selector")
 class RandomSelector(Selector):
     """uniform sample by ratio or count (random_selector.py:23-60),
-    seeded for determinism."""
+    seeded for determinism. Reference contract: EXACT sample counts
+    (int(ratio·n), reduced to select_num when both are set and it is
+    smaller); neither set → dataset unchanged. The ratio path runs one
+    count() to size the limit (documented scan); selection itself is
+    orderBy(rand).limit → TakeOrderedAndProject, no full sort."""
 
     def __init__(self, select_ratio: Optional[float] = None,
                  select_num: Optional[int] = None, seed: int = 42, **kw):
@@ -243,9 +247,15 @@ class RandomSelector(Selector):
         self.seed = seed
 
     def apply(self, df: DataFrame) -> DataFrame:
-        if self.ratio is not None:
-            return df.sample(fraction=self.ratio, seed=self.seed)
-        return df.orderBy(F.rand(self.seed)).limit(self.num or 0)
+        if self.ratio is None and self.num is None:
+            return df  # reference early-return contract
+        if self.ratio is None:
+            k = self.num
+        else:
+            k = int(self.ratio * df.count())
+            if self.num is not None:
+                k = min(k, self.num)
+        return df.orderBy(F.rand(self.seed)).limit(k)
 
 
 @OPERATORS.register("tags_specified_field_selector")

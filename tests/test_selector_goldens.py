@@ -199,3 +199,21 @@ def test_naive_then_reverse_roundtrip_golden(spark):
     assert row["text"] == texts  # one batched row, dataset order
     back = OPERATORS.get("naive_reverse_grouper")().apply(batched)
     assert sorted(r["text"] for r in back.collect()) == sorted(texts)
+
+
+# -- random selector (test_random_selector.py contract) ---------------
+
+def test_random_selector_exact_counts(spark):
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    op = OPERATORS.get("random_selector")
+    assert op(select_ratio=0.3).apply(df).count() == 30      # exact
+    assert op(select_num=7).apply(df).count() == 7
+    # both set → the smaller sample wins (reference contract)
+    assert op(select_ratio=0.3, select_num=5).apply(df).count() == 5
+    assert op(select_ratio=0.03, select_num=50).apply(df).count() == 3
+    # neither set → unchanged
+    assert op().apply(df).count() == 100
+    # seeded determinism
+    a = sorted(r["doc_id"] for r in op(select_num=10).apply(df).collect())
+    b = sorted(r["doc_id"] for r in op(select_num=10).apply(df).collect())
+    assert a == b

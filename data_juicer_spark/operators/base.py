@@ -75,11 +75,28 @@ class Mapper(Operator):
 
 
 class Filter(Operator):
-    """Two-phase filter: compute stats, then keep by range."""
+    """Two-phase filter: compute stats, then keep by range.
+
+    Every range filter honors the reference's filter-strategy kwargs
+    (base_op.py:427-443, get_keep_boolean :477-484):
+    ``min_closed_interval`` / ``max_closed_interval`` (default True)
+    and ``reversed_range`` (keep OUTSIDE the range; flips the interval
+    closedness at construction, like the reference)."""
 
     # closed-interval keep bounds, as in base_op.py:427-443
     min_val: Optional[float] = None
     max_val: Optional[float] = None
+
+    def __init__(self, **kwargs):
+        super().__init__(**kwargs)
+        self.min_closed_interval = bool(
+            self.params.get("min_closed_interval", True))
+        self.max_closed_interval = bool(
+            self.params.get("max_closed_interval", True))
+        self.reversed_range = bool(self.params.get("reversed_range", False))
+        if self.reversed_range:
+            self.min_closed_interval = not self.min_closed_interval
+            self.max_closed_interval = not self.max_closed_interval
 
     def stats_exprs(self, df: DataFrame) -> Dict[str, Column]:
         raise NotImplementedError
@@ -87,14 +104,18 @@ class Filter(Operator):
     def keep_expr(self, df: DataFrame) -> Column:
         raise NotImplementedError
 
-    @staticmethod
-    def keep_between(col: Column, lo, hi) -> Column:
-        """min<=v<=max keep decision (get_keep_boolean, base_op.py:476-484)."""
+    def keep_between(self, col: Column, lo, hi) -> Column:
+        """min<=v<=max keep decision (get_keep_boolean, base_op.py:476-484),
+        with interval-closedness and reversed_range strategies."""
         cond = F.lit(True)
         if lo is not None:
-            cond = cond & (col >= F.lit(lo))
+            cond = cond & (col >= F.lit(lo)
+                           if self.min_closed_interval else col > F.lit(lo))
         if hi is not None:
-            cond = cond & (col <= F.lit(hi))
+            cond = cond & (col <= F.lit(hi)
+                           if self.max_closed_interval else col < F.lit(hi))
+        if self.reversed_range:
+            cond = ~cond
         return cond
 
     def compute_stats(self, df: DataFrame) -> DataFrame:

@@ -419,7 +419,9 @@ class SuffixFilter(Filter):
 
 @OPERATORS.register("specified_field_filter")
 class SpecifiedFieldFilter(Filter):
-    """keep if field value ∈ target list (specified_field_filter.py:25-60)."""
+    """keep if field value ∈ target list (specified_field_filter.py:25-68):
+    list-valued fields keep only when ALL elements are targets; empty
+    field_key/target keeps everything; reversed_range negates."""
 
     def __init__(self, field_key: str = "", target_value=(), **kw):
         super().__init__(**kw)
@@ -430,7 +432,18 @@ class SpecifiedFieldFilter(Filter):
         return {}
 
     def keep_expr(self, df):
-        return F.col(self.field_key).isin(self.target)
+        if not (self.field_key and self.target):
+            return F.lit(True)
+        col = F.col(self.field_key)
+        dt = df.select(col).schema[0].dataType
+        from pyspark.sql import types as _T
+        if isinstance(dt, _T.ArrayType):
+            keep = F.forall(col, lambda x: x.isin(self.target))
+        else:
+            keep = col.isin(self.target)
+        if self.reversed_range:
+            keep = ~keep
+        return keep
 
 
 @OPERATORS.register("specified_numeric_field_filter")

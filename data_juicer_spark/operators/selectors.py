@@ -268,4 +268,6 @@ class TagsSpecifiedFieldSelector(Selector):
         self.tags = list(target_tags)
 
     def apply(self, df: DataFrame) -> DataFrame:
+        if not self.field_key:
+            return df  # reference early-return contract
         return df.filter(_resolve(self.field_key).isin(self.tags))

@@ -58,3 +58,47 @@ def test_alphanumeric_filter_char_golden(spark):
     op = OPERATORS.get("alphanumeric_filter")(min_ratio=0.2, max_ratio=0.9)
     got = sorted(r["text"] for r in op.apply(df).collect())
     assert got == sorted(expected)
+
+
+def test_filter_strategy_kwargs(spark):
+    """Reference filter-strategy kwargs (base_op.py:427-443): open
+    intervals and reversed_range work on every range filter."""
+    df = spark.createDataFrame(
+        [(1, "x" * 10), (2, "x" * 15), (3, "x" * 30)],
+        "id long, text string")
+    mk = OPERATORS.get("text_length_filter")
+    # closed (default): 10 and 15 kept
+    got = sorted(r["id"] for r in
+                 mk(min_len=10, max_len=20).apply(df).collect())
+    assert got == [1, 2]
+    # open min interval: 10 excluded
+    got = sorted(r["id"] for r in
+                 mk(min_len=10, max_len=20,
+                    min_closed_interval=False).apply(df).collect())
+    assert got == [2]
+    # reversed: keep NOT(min < v < max) — the reference flips the
+    # closedness, so the boundary value 10 stays kept (base_op.py:441-443)
+    got = sorted(r["id"] for r in
+                 mk(min_len=10, max_len=20,
+                    reversed_range=True).apply(df).collect())
+    assert got == [1, 3]
+
+
+def test_specified_field_filter_list_values(spark):
+    # list-valued field keeps only rows where ALL elements are targets
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["a", "z"]), (3, []), (4, ["b"])],
+        "id long, tags array<string>")
+    op = OPERATORS.get("specified_field_filter")(
+        field_key="tags", target_value=["a", "b"])
+    got = sorted(r["id"] for r in op.apply(df).collect())
+    assert got == [1, 3, 4]  # empty list vacuously passes, like all()
+    rev = OPERATORS.get("specified_field_filter")(
+        field_key="tags", target_value=["a", "b"], reversed_range=True)
+    assert sorted(r["id"] for r in rev.apply(df).collect()) == [2]
+
+
+def test_specified_field_filter_empty_config_keeps_all(spark):
+    df = spark.createDataFrame([(1, "x")], "id long, field string")
+    op = OPERATORS.get("specified_field_filter")(field_key="field")
+    assert op.apply(df).count() == 1

@@ -448,7 +448,9 @@ class SpecifiedFieldFilter(Filter):
 
 @OPERATORS.register("specified_numeric_field_filter")
 class SpecifiedNumericFieldFilter(Filter):
-    """keep if min<=field<=max (specified_numeric_field_filter.py:36-80)."""
+    """keep if min<=field<=max (specified_numeric_field_filter.py:36-81):
+    string values parse as floats (is_number contract), non-numbers and
+    nulls DROP, empty field_key keeps everything."""
 
     def __init__(self, field_key: str = "", min_value=None, max_value=None, **kw):
         super().__init__(**kw)
@@ -459,8 +461,14 @@ class SpecifiedNumericFieldFilter(Filter):
         return {}
 
     def keep_expr(self, df):
+        if not self.field_key:
+            return F.lit(True)
+        # try_cast: numeric strings compare as numbers; non-numbers
+        # become null, and null comparisons drop the row (reference
+        # returns False for non-numbers, before any reversal)
         return self.keep_between(
-            F.col(self.field_key), self.min_value, self.max_value
+            F.col(self.field_key).try_cast("double"),
+            self.min_value, self.max_value
         )
 
 

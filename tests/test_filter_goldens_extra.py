@@ -102,3 +102,14 @@ def test_specified_field_filter_empty_config_keeps_all(spark):
     df = spark.createDataFrame([(1, "x")], "id long, field string")
     op = OPERATORS.get("specified_field_filter")(field_key="field")
     assert op.apply(df).count() == 1
+
+
+def test_specified_numeric_string_values(spark):
+    # numeric strings parse as floats; non-numbers drop (is_number)
+    df = spark.createDataFrame(
+        [(1, "50"), (2, "12.51"), (3, "abc"), (4, None), (5, "100")],
+        "id long, star string")
+    op = OPERATORS.get("specified_numeric_field_filter")(
+        field_key="star", min_value=10, max_value=70)
+    got = sorted(r["id"] for r in op.apply(df).collect())
+    assert got == [1, 2]

@@ -472,20 +472,81 @@ class SpecifiedNumericFieldFilter(Filter):
         )
 
 
+def _python_condition_to_column(cond: str):
+    """Compile the reference's PYTHON-syntax filter condition
+    (general_field_filter.py:21-100: and/or/not, the six comparison
+    ops including CHAINED comparisons like ``10 < num <= 30``, dotted
+    field names) into one Catalyst Column. Returns None when the
+    condition uses a construct outside that grammar — the caller falls
+    back to Spark SQL, which is this engine's superset extension."""
+    import ast
+
+    OPS = {ast.Gt: Column.__gt__, ast.Lt: Column.__lt__,
+           ast.Eq: Column.__eq__, ast.NotEq: Column.__ne__,
+           ast.GtE: Column.__ge__, ast.LtE: Column.__le__}
+
+    def conv(node):
+        if isinstance(node, ast.Expression):
+            return conv(node.body)
+        if isinstance(node, ast.BoolOp):
+            parts = [conv(v) for v in node.values]
+            out = parts[0]
+            for p in parts[1:]:
+                out = (out & p) if isinstance(node.op, ast.And) else (out | p)
+            return out
+        if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.Not):
+            return ~conv(node.operand)
+        if isinstance(node, ast.Compare):
+            left, out = conv(node.left), None
+            for op, comparator in zip(node.ops, node.comparators):
+                if type(op) not in OPS:
+                    raise ValueError("unsupported comparison")
+                right = conv(comparator)
+                c = OPS[type(op)](left, right)
+                out = c if out is None else out & c
+                left = right  # chained comparison
+            return out
+        if isinstance(node, ast.Name):
+            return F.col(node.id)
+        if isinstance(node, ast.Attribute):  # dotted field name a.b.c
+            parts, cur = [], node
+            while isinstance(cur, ast.Attribute):
+                parts.append(cur.attr)
+                cur = cur.value
+            if not isinstance(cur, ast.Name):
+                raise ValueError("unsupported attribute base")
+            parts.append(cur.id)
+            return F.col(".".join(reversed(parts)))
+        if isinstance(node, ast.Constant):
+            return F.lit(node.value)
+        raise ValueError("unsupported construct")
+
+    try:
+        return conv(ast.parse(cond, mode="eval"))
+    except (SyntaxError, ValueError):
+        return None
+
+
 @OPERATORS.register("general_field_filter")
 class GeneralFieldFilter(Filter):
-    """arbitrary boolean SQL expression over fields
-    (general_field_filter.py:21-52) — Catalyst-native passthrough."""
+    """boolean condition over fields (general_field_filter.py:21-100):
+    the reference's Python-expression grammar — and/or/not, chained
+    comparisons, dotted names — compiles to one Catalyst Column; any
+    condition outside that grammar falls back to Spark SQL `expr`
+    (an engine-superset extension). Empty condition keeps everything."""
 
-    def __init__(self, filter_condition: str = "true", **kw):
+    def __init__(self, filter_condition: str = "", **kw):
         super().__init__(**kw)
-        self.condition = filter_condition
+        self.condition = filter_condition.strip()
 
     def stats_exprs(self, df):
         return {}
 
     def keep_expr(self, df):
-        return F.expr(self.condition)
+        if not self.condition:
+            return F.lit(True)
+        compiled = _python_condition_to_column(self.condition)
+        return compiled if compiled is not None else F.expr(self.condition)
 
 
 @OPERATORS.register("text_quality_score_filter")

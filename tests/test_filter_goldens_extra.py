@@ -113,3 +113,23 @@ def test_specified_numeric_string_values(spark):
         field_key="star", min_value=10, max_value=70)
     got = sorted(r["id"] for r in op.apply(df).collect())
     assert got == [1, 2]
+
+
+def test_general_field_filter_python_grammar(spark):
+    """Reference condition grammar: chained comparisons, and/or,
+    dotted names (general_field_filter.py:26 example)."""
+    df = spark.createDataFrame(
+        [(1, 20, "hello", (3,)), (2, 40, "hello", (3,)),
+         (3, 20, "nothing here", (3,)), (4, 20, "hello", (9,))],
+        "id long, num long, text string, meta struct<a:long>")
+    op = OPERATORS.get("general_field_filter")(
+        filter_condition="10 < num <= 30 and text != 'nothing here' "
+                         "and meta.a == 3")
+    got = sorted(r["id"] for r in op.apply(df).collect())
+    assert got == [1]
+    # empty condition keeps everything
+    assert OPERATORS.get("general_field_filter")().apply(df).count() == 4
+    # SQL superset still works (falls back to expr)
+    sql = OPERATORS.get("general_field_filter")(
+        filter_condition="num % 40 = 0 AND text LIKE 'hel%'")
+    assert sorted(r["id"] for r in sql.apply(df).collect()) == [2]

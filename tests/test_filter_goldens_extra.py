@@ -133,3 +133,28 @@ def test_general_field_filter_python_grammar(spark):
     sql = OPERATORS.get("general_field_filter")(
         filter_condition="num % 40 = 0 AND text LIKE 'hel%'")
     assert sorted(r["id"] for r in sql.apply(df).collect()) == [2]
+
+
+def test_general_field_filter_reference_goldens(spark):
+    """Ports tests/ops/filter/test_general_field_filter.py:21-84."""
+    df = spark.createDataFrame(
+        [("sample1", 5, True, (1,)), ("sample2", 15, False, (2,)),
+         ("sample3", 25, True, (3,))],
+        "text string, num long, flag boolean, meta struct<a:long>")
+    mk = OPERATORS.get("general_field_filter")
+
+    def texts(cond):
+        return sorted(r["text"] for r in
+                      mk(filter_condition=cond).apply(df).collect())
+
+    assert texts("10 < num < 20") == ["sample2"]
+    assert texts("num < 10 and flag == True") == ["sample1"]
+    assert texts("num < 10 or num > 20") == ["sample1", "sample3"]
+    assert texts("meta.a == 2") == ["sample2"]
+    # null field: comparison is null → dropped (reference missing-key row)
+    df2 = spark.createDataFrame(
+        [("sample1", 5), ("sample2", None), ("sample3", 25)],
+        "text string, num long")
+    got = sorted(r["text"] for r in mk(filter_condition="num <= 5")
+                 .apply(df2).collect())
+    assert got == ["sample1"]

@@ -158,3 +158,25 @@ def test_general_field_filter_reference_goldens(spark):
     got = sorted(r["text"] for r in mk(filter_condition="num <= 5")
                  .apply(df2).collect())
     assert got == ["sample1"]
+
+
+def test_specified_field_filter_reference_goldens(spark):
+    """Ports tests/ops/filter/test_specified_field_filter.py: scalar
+    case with empty/None values and the deep-nested list case."""
+    mk = OPERATORS.get("specified_field_filter")
+    df = spark.createDataFrame(
+        [(0, (".pdf",)), (1, (".docx",)), (2, (".txt",)), (3, ("",)),
+         (4, (None,))],
+        "id long, meta struct<suffix:string>")
+    op = mk(field_key="meta.suffix", target_value=[".pdf", ".txt"])
+    assert sorted(r["id"] for r in op.apply(df).collect()) == [0, 2]
+
+    df2 = spark.createDataFrame(
+        [(0, ((["txt", "json"],),)), (1, ((["pdf", "txt", "xbs"],),)),
+         (2, ((["docx", "", "html"],),)), (3, ((["json"],),)),
+         (4, ((["pdf", "txt", "json", "docx"],),))],
+        "id long, meta struct<path:struct<test:array<string>>>")
+    op2 = mk(field_key="meta.path.test",
+             target_value=["pdf", "txt", "json"])
+    # row 4 has 'docx' → not all elements are targets → dropped
+    assert sorted(r["id"] for r in op2.apply(df2).collect()) == [0, 3]

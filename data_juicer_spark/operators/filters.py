@@ -441,6 +441,9 @@ class SpecifiedFieldFilter(Filter):
             keep = F.forall(col, lambda x: x.isin(self.target))
         else:
             keep = col.isin(self.target)
+        # null field/element → False like the reference's `in` check,
+        # so reversed_range KEEPS null rows (三-valued ~NULL would drop)
+        keep = F.coalesce(keep, F.lit(False))
         if self.reversed_range:
             keep = ~keep
         return keep

@@ -248,7 +248,9 @@ def size_to_bytes(size: str) -> int:
         return n
     suffix = "".join(alphas).lower()
     shifts = {"kb": 10, "kib": 10, "mb": 20, "mib": 20, "gb": 30,
-              "gib": 30, "tb": 40, "tib": 40, "pb": 50, "pib": 50}
+              "gib": 30, "tb": 40, "tib": 40, "pb": 50, "pib": 50,
+              "eb": 60, "eib": 60, "zb": 70, "zib": 70, "yb": 80,
+              "yib": 80}
     if suffix not in shifts:
         raise ValueError(f"You specified unidentifiable unit: {suffix}")
     return n << shifts[suffix]
@@ -297,7 +299,10 @@ class _MediaSizeFilter(Filter):
 
     def apply(self, df: DataFrame) -> DataFrame:
         sizes = self._sizes(df)
-        ok = (lambda s: s.between(self.lo, self.hi))
+        # per-size keep via the Filter-base strategy (get_keep_boolean
+        # honoring reversed_range / interval closedness, applied BEFORE
+        # the any/all fold — audio_size_filter.py:60-71)
+        ok = (lambda s: self.keep_between(s, self.lo, self.hi))
         hit = F.exists(sizes, ok) if self.any else F.forall(sizes, ok)
         empty = F.col(self.media_key).isNull() | (F.size(sizes) == 0)
         return df.filter(empty | hit)
@@ -343,7 +348,7 @@ class ImageAspectRatioFilter(Filter):
         m = self.meta_key
         ratio = F.col(f"{m}.width") / F.col(f"{m}.height")
         return df.filter(F.col(f"{m}.decode_error").isNull()
-                         & ratio.between(self.lo, self.hi))
+                         & self.keep_between(ratio, self.lo, self.hi))
 
 @OPERATORS.register("video_deduplicator")
 class VideoDeduplicator(Deduplicator):
@@ -380,9 +385,13 @@ class VideoDeduplicator(Deduplicator):
     def apply(self, df: DataFrame) -> DataFrame:
         from pyspark.sql import Window
 
-        key = self._video_hash(df)
+        # coalesce each part: F.concat null-propagates, and a null text
+        # (or null video) must form its OWN key group, not collapse
+        # every null row into one
+        key = F.coalesce(self._video_hash(df), F.lit("\x00novideo"))
         if self.consider_text:
-            key = F.concat(key, F.md5(F.col(self.text_key)))
+            key = F.concat(key, F.coalesce(F.md5(F.col(self.text_key)),
+                                           F.lit("\x00notext")))
         order_col = self.id_key or df.columns[0]
         w = Window.partitionBy("__vhash__").orderBy(F.col(order_col).asc())
         return (df.withColumn("__vhash__", key)

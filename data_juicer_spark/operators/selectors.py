@@ -63,8 +63,13 @@ class TopkSpecifiedFieldSelector(Selector):
         self.id_key = id_key
 
     def apply(self, df: DataFrame) -> DataFrame:
+        if not self.field_key:
+            return df  # reference early-return contract
+        if not self.top_ratio and not self.topk:
+            return df  # nothing to select by (falsy checks, like the
+            #            reference — ratio 0.0 counts as unset)
         col = _numeric_sort_key(df, self.field_key, self.reverse)
-        if self.topk is not None and self.top_ratio is None:
+        if self.topk is not None and not self.top_ratio:
             order = [col.desc() if self.reverse else col.asc()]
             if self.id_key:
                 order.append(F.col(self.id_key).asc())
@@ -84,10 +89,12 @@ class TopkSpecifiedFieldSelector(Selector):
         cnts = df.groupBy(col.alias("__v__")).agg(
             F.count(F.lit(1)).alias("__w__"))
         cum, n = exclusive_prefix_sum(cnts, "__v__", "__w__", out="__below__")
+        if n <= 1:
+            return df  # reference early-return contract
         # reference semantics (topk_specified_field_selector.py:66-75):
         # select_num = ratio*n, reduced to topk when topk is smaller;
         # int-truncated (0 rows for a tiny ratio is faithful)
-        k = int(n * (self.top_ratio if self.top_ratio is not None else 1.0))
+        k = int(n * self.top_ratio)
         if self.topk is not None:
             k = min(k, self.topk)
         if self.reverse:
@@ -124,6 +131,13 @@ class FrequencySpecifiedFieldSelector(Selector):
         self.id_key = id_key
 
     def apply(self, df: DataFrame) -> DataFrame:
+        if not self.field_key:
+            return df  # reference early-return contract
+        if not self.top_ratio and not self.topk:
+            # nothing to select by → unchanged (falsy, like the
+            # reference: ratio 0.0 counts as unset) — and no wasted
+            # groupBy/semi-join work
+            return df
         col = _resolve(self.field_key)
         # reference breaks count ties by FIRST APPEARANCE (stable sort
         # over insertion order) — id_key reproduces that; without one,
@@ -132,7 +146,7 @@ class FrequencySpecifiedFieldSelector(Selector):
                else F.min(F.lit(0))).alias("__first__")
         freq = df.groupBy(col.alias("__fv__")).agg(
             F.count(F.lit(1)).alias("count"), tie)
-        if self.top_ratio is not None:
+        if self.top_ratio:
             # reference: ratio of DISTINCT value groups, reduced to
             # topk when smaller (frequency_...selector.py:79-88); the
             # count() runs on the tiny distinct table, not the dataset
@@ -141,7 +155,7 @@ class FrequencySpecifiedFieldSelector(Selector):
             if self.topk is not None:
                 k = min(k, self.topk)
         else:
-            k = self.topk if self.topk is not None else freq.count()
+            k = self.topk
         order = F.col("count").desc() if self.reverse else F.col("count").asc()
         top = freq.orderBy(order, F.col("__first__").asc(),
                            F.col("__fv__").asc()).limit(k)
@@ -198,6 +212,8 @@ class RangeSpecifiedFieldSelector(Selector):
         col = _numeric_sort_key(df, self.field_key, reverse=True)
         cnts = df.groupBy(col.alias("__v__")).agg(F.count(F.lit(1)).alias("__w__"))
         cum, n = exclusive_prefix_sum(cnts, "__v__", "__w__", out="__below__")
+        if n <= 1:
+            return df  # reference early-return contract
 
         k_lo, k_hi = 0, n
         if self.lo_pct is not None:
@@ -235,9 +251,15 @@ class RandomSelector(Selector):
     """uniform sample by ratio or count (random_selector.py:23-60),
     seeded for determinism. Reference contract: EXACT sample counts
     (int(ratio·n), reduced to select_num when both are set and it is
-    smaller); neither set → dataset unchanged. The ratio path runs one
-    count() to size the limit (documented scan); selection itself is
-    orderBy(rand).limit → TakeOrderedAndProject, no full sort."""
+    smaller); neither set (or ratio 0.0, falsy like the reference) →
+    dataset unchanged; n ≤ 1 unchanged.
+
+    Distributed shape: selection = the k smallest rows under a seeded
+    xxhash64 of the full row (a pure function of content + seed, so
+    stable under shuffle/recompute — F.rand is not), ranked with the
+    same exact prefix-sum machinery as the other selectors. No global
+    TakeOrdered merge, no extra count() scan — k≈n stays fully
+    distributed."""
 
     def __init__(self, select_ratio: Optional[float] = None,
                  select_num: Optional[int] = None, seed: int = 42, **kw):
@@ -247,15 +269,34 @@ class RandomSelector(Selector):
         self.seed = seed
 
     def apply(self, df: DataFrame) -> DataFrame:
-        if self.ratio is None and self.num is None:
+        if not self.ratio and self.num is None:
             return df  # reference early-return contract
-        if self.ratio is None:
+        from pyspark.sql import Window
+
+        from data_juicer_spark.functions.ranks import exclusive_prefix_sum
+
+        key = F.xxhash64(F.struct(*[F.col(c) for c in df.columns]),
+                         F.lit(self.seed))
+        cnts = df.groupBy(key.alias("__v__")).agg(
+            F.count(F.lit(1)).alias("__w__"))
+        cum, n = exclusive_prefix_sum(cnts, "__v__", "__w__",
+                                      out="__below__")
+        if n <= 1:
+            return df  # reference early-return contract
+        if not self.ratio:
             k = self.num
         else:
-            k = int(self.ratio * df.count())
+            k = int(self.ratio * n)
             if self.num is not None:
                 k = min(k, self.num)
-        return df.orderBy(F.rand(self.seed)).limit(k)
+        j = df.join(cum.select("__v__", "__below__"),
+                    key.eqNullSafe(F.col("__v__")), "left")
+        # identical rows share a hash; any tie order yields an
+        # equivalent sample, so a constant-order row_number is fine
+        w = Window.partitionBy("__v__").orderBy(F.lit(0))
+        return (j.withColumn("__pos__", F.row_number().over(w) - 1)
+                .where(F.col("__below__") + F.col("__pos__") < F.lit(k))
+                .drop("__v__", "__below__", "__pos__"))
 
 
 @OPERATORS.register("tags_specified_field_selector")

@@ -129,6 +129,9 @@ def write_tfrecord(df: DataFrame, out_dir: str,
     def write_partition(it):
         import pandas as pd
 
+        # executor-side: the driver's makedirs doesn't exist on remote
+        # workers under yarn/k8s
+        os.makedirs(out_dir, exist_ok=True)
         n = 0
         shard = os.path.join(out_dir,
                              f"part-{uuid.uuid4().hex[:12]}.tfrecord")

@@ -305,3 +305,31 @@ def test_image_resize_mapper(spark):
                                              interpolation="lanczos")
     with pytest.raises(ValueError, match=">= 1"):
         OPERATORS.get("image_resize_mapper")(width=0, height=4)
+
+
+def test_video_dedup_consider_text_null_text(spark):
+    # distinct videos with NULL text must not collapse into one group
+    df = spark.createDataFrame(
+        [(1, bytearray(b"aa"), None), (2, bytearray(b"bb"), None),
+         (3, bytearray(b"aa"), None)],
+        "id long, video binary, text string")
+    op = OPERATORS.get("video_deduplicator")(id_key="id",
+                                             consider_text=True)
+    assert sorted(r["id"] for r in op.apply(df).collect()) == [1, 2]
+
+
+def test_media_size_filter_reversed_range(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x" * 100)), (2, bytearray(b"x" * 5000))],
+        "id long, audio binary")
+    op = OPERATORS.get("audio_size_filter")(
+        min_size="1kb", max_size="1mb", reversed_range=True)
+    got = sorted(r["id"] for r in op.apply(df).collect())
+    assert got == [1]  # keep OUTSIDE the range
+
+
+def test_size_to_bytes_large_units():
+    from data_juicer_spark.operators.multimodal import size_to_bytes
+    assert size_to_bytes("1EB") == 1 << 60
+    assert size_to_bytes("1ZiB") == 1 << 70
+    assert size_to_bytes("1YB") == 1 << 80

@@ -217,3 +217,24 @@ def test_random_selector_exact_counts(spark):
     a = sorted(r["doc_id"] for r in op(select_num=10).apply(df).collect())
     b = sorted(r["doc_id"] for r in op(select_num=10).apply(df).collect())
     assert a == b
+
+
+def test_selector_reference_edge_contracts(spark):
+    """Falsy ratio 0.0 counts as unset; empty field_key and n<=1 return
+    the dataset unchanged (reference early-return contracts)."""
+    df = spark.range(20).withColumnRenamed("id", "doc_id")
+    df = df.withColumn("v", df["doc_id"] * 2)
+    topk = OPERATORS.get("topk_specified_field_selector")
+    assert topk(field_key="v", topk=5, top_ratio=0.0).apply(df).count() == 5
+    assert topk(topk=5).apply(df).count() == 20          # empty field_key
+    assert topk(field_key="v").apply(df).count() == 20   # nothing to select by
+    freq = OPERATORS.get("frequency_specified_field_selector")
+    assert freq(field_key="v", topk=3, top_ratio=0.0).apply(df).count() > 0
+    assert freq(field_key="v").apply(df).count() == 20   # both unset
+    rnd = OPERATORS.get("random_selector")
+    assert rnd(select_ratio=0.0, select_num=10).apply(df).count() == 10
+    one = spark.range(1).withColumnRenamed("id", "doc_id")
+    assert rnd(select_ratio=0.4).apply(one).count() == 1  # n<=1 unchanged
+    rng = OPERATORS.get("range_specified_field_selector")
+    assert rng(field_key="doc_id", lower_percentile=0.0,
+               upper_percentile=0.5).apply(one).count() == 1

@@ -238,3 +238,14 @@ def test_selector_reference_edge_contracts(spark):
     rng = OPERATORS.get("range_specified_field_selector")
     assert rng(field_key="doc_id", lower_percentile=0.0,
                upper_percentile=0.5).apply(one).count() == 1
+
+
+def test_tags_selector_golden(spark):
+    """Ports tests/ops/selector/test_tags_specified_field_selector.py."""
+    rows = [(0, ("happy",)), (1, ("happy",)), (2, ("sad",)),
+            (3, ("angry",))]
+    df = spark.createDataFrame(rows,
+                               "doc_id long, meta struct<sentiment:string>")
+    op = OPERATORS.get("tags_specified_field_selector")(
+        field_key="meta.sentiment", target_tags=["happy", "sad"])
+    assert sorted(r["doc_id"] for r in op.apply(df).collect()) == [0, 1, 2]

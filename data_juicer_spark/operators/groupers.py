@@ -87,15 +87,39 @@ class KeyValueGrouper(Grouper):
 @OPERATORS.register("naive_reverse_grouper")
 class NaiveReverseGrouper(Grouper):
     """unbatch: batched row → rows (naive_reverse_grouper.py:24-53) via
-    explode(arrays_zip)."""
+    explode(arrays_zip). `batch_meta_export_path` mirrors the
+    reference's :36-51 contract: per-batch metadata (a `batch_meta`
+    column) is written out as JSON lines and STRIPPED from the result —
+    batch metas are one row per batched group, so the export is a
+    small driver-side action by construction."""
 
-    def __init__(self, list_cols: Optional[List[str]] = None, **kw):
+    def __init__(self, list_cols: Optional[List[str]] = None,
+                 batch_meta_export_path: Optional[str] = None,
+                 batch_meta_key: str = "batch_meta", **kw):
         super().__init__(**kw)
         self.list_cols = list_cols
+        self.batch_meta_export_path = batch_meta_export_path
+        self.batch_meta_key = batch_meta_key
 
     def apply(self, df: DataFrame) -> DataFrame:
         from pyspark.sql.types import ArrayType
 
+        if self.batch_meta_key in df.columns:
+            if self.batch_meta_export_path is not None:
+                import json
+                import os
+
+                metas = [r[0] for r in
+                         df.select(self.batch_meta_key).collect()]
+                d = os.path.dirname(self.batch_meta_export_path)
+                if d:
+                    os.makedirs(d, exist_ok=True)
+                with open(self.batch_meta_export_path, "w") as fh:
+                    for m in metas:
+                        m = m.asDict(recursive=True) if hasattr(
+                            m, "asDict") else m
+                        fh.write(json.dumps(m, ensure_ascii=False) + "\n")
+            df = df.drop(self.batch_meta_key)  # dropped either way
         list_cols = self.list_cols or [
             f.name for f in df.schema.fields if isinstance(f.dataType, ArrayType)
         ]

@@ -249,3 +249,25 @@ def test_tags_selector_golden(spark):
     op = OPERATORS.get("tags_specified_field_selector")(
         field_key="meta.sentiment", target_tags=["happy", "sad"])
     assert sorted(r["doc_id"] for r in op.apply(df).collect()) == [0, 1, 2]
+
+
+def test_reverse_grouper_batch_meta_export(spark, tmp_path):
+    """Ports test_naive_reverse_grouper.py's rm_unbatched_keys cases:
+    batch_meta is exported as JSON lines and stripped from the rows."""
+    import json
+    import os
+
+    df = spark.createDataFrame(
+        [((["a", "b"]), ("k1",)), ((["c"]), ("k2",))],
+        "text array<string>, batch_meta struct<query:string>")
+    path = os.path.join(tmp_path, "meta", "bm.jsonl")
+    op = OPERATORS.get("naive_reverse_grouper")(
+        batch_meta_export_path=path)
+    out = op.apply(df)
+    assert sorted(r["text"] for r in out.collect()) == ["a", "b", "c"]
+    assert "batch_meta" not in out.columns
+    metas = [json.loads(line) for line in open(path)]
+    assert sorted(m["query"] for m in metas) == ["k1", "k2"]
+    # no export path → batch_meta silently dropped (reference contract)
+    out2 = OPERATORS.get("naive_reverse_grouper")().apply(df)
+    assert "batch_meta" not in out2.columns and out2.count() == 3

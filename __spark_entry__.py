@@ -410,21 +410,30 @@ def _q_events_running_sum(spark, sf_dir):
 
 def _q_events_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity) — lag + cumulative
-    window, the streaming-analytics primitive in batch form."""
+    window, the streaming-analytics primitive in batch form.
+
+    Environment-proofing (rounds 1-3 driver-red history): the gap test is
+    NTZ-minus-NTZ interval arithmetic — no cast to session-zoned TIMESTAMP
+    anywhere, so the result is identical under ANY driver session timezone
+    — and the output row carries only BIGINT columns (the exact integer
+    micros sum), so no float canonicalization path can diverge either.
+    The UTC pin is belt-and-braces on top."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # fractional epoch seconds on both engines (DuckDB epoch() is double;
-    # NTZ → TS cast is identity under the UTC session timezone)
-    secs = F.col("ts").cast("timestamp").cast("double")
-    gap = secs - F.lag(secs).over(w)
-    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    # TIMESTAMP_NTZ - TIMESTAMP_NTZ → day-time interval: timezone-free
+    gap = F.col("ts") - F.lag(F.col("ts")).over(w)
+    new_sess = F.when(
+        gap.isNull() | (gap > F.expr("INTERVAL '1800' SECOND")), 1
+    ).otherwise(0)
     sess = ev.withColumn(
         "session_id", F.sum(new_sess).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     )
     return sess.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        _exact_sum(F.col("value")).alias("session_value"),
+        F.sum(F.round(F.col("value") * F.lit(1_000_000)).cast("long"))
+        .alias("session_value_micros"),
     )
 
 
@@ -1498,7 +1507,7 @@ def oracle_sql() -> dict[str, str]:
             WITH flagged AS (
               SELECT user_id, ts, event_id, value,
                      CASE WHEN lag(ts) OVER w IS NULL
-                               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                               OR ts - lag(ts) OVER w > INTERVAL '1800 seconds'
                           THEN 1 ELSE 0 END AS new_sess
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1511,8 +1520,8 @@ def oracle_sql() -> dict[str, str]:
               FROM flagged
             )
             SELECT user_id, session_id, count(*) AS n_events,
-                   sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0
-                     AS session_value
+                   CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+                     AS session_value_micros
             FROM sess GROUP BY user_id, session_id
         """,
         "tpch_q1_like": """

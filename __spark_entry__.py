@@ -2015,13 +2015,26 @@ def oracle_sql() -> dict[str, str]:
               ON o.repo = n.repo AND o.path = n.path
             WHERE o.seq IS NULL OR n.seq IS NULL OR o.seq <> n.seq
         """,
+        "selector_random": """
+            WITH keyed AS (
+              SELECT doc_id,
+                     md5(concat_ws(chr(1), CAST(doc_id AS VARCHAR), text,
+                                   lang, source, CAST(n_chars AS VARCHAR),
+                                   '42')) AS k
+              FROM documents
+            ), ranked AS (
+              SELECT doc_id, row_number() OVER (ORDER BY k) AS rn,
+                     count(*) OVER () AS n
+              FROM keyed
+            )
+            SELECT doc_id FROM ranked WHERE rn <= floor(0.2 * n)
+        """,
         # NO oracle (rows-only checks; not SQL-expressible):
-        # dedup_minhash / dedup_simhash / dedup_ngram_jaccard (LSH /
-        # hamming-block / connected-components clustering; exhaustive
-        # sequential-oracle pytest in tests/test_dedup_oracle.py),
-        # selector_random (engine-seeded sampling), similarity_lsh
-        # (approximate recall), similarity_ivf (kmeans-seeded lists),
-        # dedup_embedding_cosine (LSH-bucketed clustering).
+        # dedup_minhash / dedup_simhash (LSH / hamming-block clustering
+        # over engine-native hashes; exhaustive sequential-oracle pytest
+        # in tests/test_dedup_oracle.py), similarity_lsh (approximate
+        # recall), similarity_ivf (kmeans-seeded lists), mapper_nlpaug
+        # (seeded-RNG augmentation; golden pytest).
     }
 
 

@@ -636,12 +636,34 @@ def _q_mapper_nlpaug(spark, sf_dir):
 
 
 def _q_dedup_embedding_cosine(spark, sf_dir):
+    """The raw sf tables are i.i.d. random vectors (max pairwise cosine
+    ≈0.51 at sf0.01), which would leave the clustering path untested —
+    so synthesize near-duplicates in-query, identically in the oracle:
+    a +0.001-on-element-0 perturbed copy of vec_id<25 (near-dup edge)
+    and a bit-identical copy of vec_id<10 (exact-collapse edge, which
+    chains through CC into 3-node components for vec_id<10)."""
     from data_juicer_spark.registry import OPERATORS
 
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    near = base.where(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x + F.lit(0.001)).otherwise(x),
+        ).alias("embedding"),
+    )
+    exact = base.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 2000).alias("vec_id"), "embedding"
+    )
+    df = base.unionByName(near).unionByName(exact)
     op = OPERATORS.get("embedding_cosine_deduplicator")(
         id_key="vec_id", threshold=0.98, n_planes=10
     )
-    return op.apply(_t(spark, sf_dir, "embeddings")).select("vec_id")
+    return op.apply(df).select("vec_id")
 
 
 def _q_filter_embd_similarity(spark, sf_dir):
@@ -2028,6 +2050,79 @@ def oracle_sql() -> dict[str, str]:
               FROM keyed
             )
             SELECT doc_id FROM ranked WHERE rn <= floor(0.2 * n)
+        """,
+        "dedup_ngram_jaccard": r"""
+            WITH RECURSIVE docs AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[ \n\t]'),
+                                 w -> w != '') AS words
+              FROM documents
+            ), shing AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(len(words) - 4),
+                       i -> array_to_string(words[i+1:i+5], ' '))) AS shingles
+              FROM docs WHERE len(words) >= 5
+            ), exploded AS (
+              SELECT doc_id, len(shingles) AS set_size,
+                     unnest(shingles) AS shingle
+              FROM shing
+            ), rare AS (
+              SELECT shingle FROM exploded GROUP BY shingle
+              HAVING count(*) <= 50
+            ), shr AS (
+              SELECT e.doc_id, e.set_size, e.shingle
+              FROM exploded e JOIN rare USING (shingle)
+            ), pairs AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst
+              FROM shr a JOIN shr b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id, a.set_size, b.set_size
+              HAVING count(*) * 1.0
+                     / (a.set_size + b.set_size - count(*)) >= 0.8
+            ), bi AS (
+              SELECT src AS a, dst AS b FROM pairs
+              UNION SELECT dst, src FROM pairs
+            ), cc(node, lbl) AS (
+              SELECT DISTINCT a, a FROM bi
+              UNION
+              SELECT bi.b, cc.lbl FROM cc JOIN bi ON cc.node = bi.a
+            ), comp AS (
+              SELECT node, min(lbl) AS component FROM cc GROUP BY node
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT node FROM comp WHERE component < node)
+        """,
+        "dedup_embedding_cosine": """
+            WITH RECURSIVE base AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ), near AS (
+              SELECT vec_id + 1000 AS vec_id,
+                     list_transform(e, (x, i) ->
+                       CASE WHEN i = 1 THEN x + 0.001 ELSE x END) AS e
+              FROM base WHERE vec_id < 25
+            ), exact AS (
+              SELECT vec_id + 2000 AS vec_id, e FROM base WHERE vec_id < 10
+            ), v AS (
+              SELECT * FROM base UNION ALL SELECT * FROM near
+              UNION ALL SELECT * FROM exact
+            ), pairs AS (
+              SELECT a.vec_id AS src, b.vec_id AS dst
+              FROM v a JOIN v b ON a.vec_id < b.vec_id
+              WHERE list_dot_product(a.e, b.e)
+                    / (sqrt(list_dot_product(a.e, a.e))
+                       * sqrt(list_dot_product(b.e, b.e))) >= 0.98
+            ), bi AS (
+              SELECT src AS a, dst AS b FROM pairs
+              UNION SELECT dst, src FROM pairs
+            ), cc(node, lbl) AS (
+              SELECT DISTINCT a, a FROM bi
+              UNION
+              SELECT bi.b, cc.lbl FROM cc JOIN bi ON cc.node = bi.a
+            ), comp AS (
+              SELECT node, min(lbl) AS component FROM cc GROUP BY node
+            )
+            SELECT vec_id FROM v
+            WHERE vec_id NOT IN (SELECT node FROM comp WHERE component < node)
         """,
         # NO oracle (rows-only checks; not SQL-expressible):
         # dedup_minhash / dedup_simhash (LSH / hamming-block clustering

@@ -666,6 +666,220 @@ def _q_dedup_embedding_cosine(spark, sf_dir):
     return op.apply(df).select("vec_id")
 
 
+def _q_filter_image_size(spark, sf_dir):
+    """image_size_filter over a binary column synthesized from the doc
+    text (UTF-8 encode on both engines): keeps 300 B – 2 KiB payloads;
+    octet_length runs pure Catalyst (reference
+    filter/image_size_filter.py)."""
+    from data_juicer_spark.registry import OPERATORS
+
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("image"))
+    op = OPERATORS.get("image_size_filter")(
+        min_size="300", max_size="2kb", media_key="image")
+    return op.apply(df).select(
+        "doc_id", F.octet_length("image").cast("long").alias("image_bytes"))
+
+
+def _q_filter_audio_duration(spark, sf_dir):
+    """audio_duration_filter over a synthesized PCM payload: duration =
+    bytes / (16000 Hz * 2 B) in [0.005 s, 0.05 s] (reference
+    filter/audio_duration_filter.py; fake-PCM contract)."""
+    from data_juicer_spark.registry import OPERATORS
+
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("audio"))
+    op = OPERATORS.get("audio_duration_filter")(
+        min_seconds=0.005, max_seconds=0.05, audio_key="audio")
+    return op.apply(df).select(
+        "doc_id", F.octet_length("audio").cast("long").alias("audio_bytes"))
+
+
+def _q_filter_image_shape(spark, sf_dir):
+    """image_metadata_mapper (stub decode: dims are a pure function of
+    the payload sha256 — reproduced byte-for-byte in the oracle) feeding
+    image_shape_filter's Catalyst range on the meta struct. Covers BOTH
+    ops (reference filter/image_shape_filter.py)."""
+    from data_juicer_spark.registry import OPERATORS
+
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("image"))
+    df = OPERATORS.get("image_metadata_mapper")(fake_decode=True).apply(df)
+    op = OPERATORS.get("image_shape_filter")(
+        min_width=24, max_width=72, min_height=20, max_height=76)
+    return op.apply(df).select(
+        "doc_id", F.col("image_meta.width").alias("width"),
+        F.col("image_meta.height").alias("height"))
+
+
+def _q_filter_image_aspect_ratio(spark, sf_dir):
+    """image_metadata_mapper + image_aspect_ratio_filter (reference
+    filter/image_aspect_ratio_filter.py, defaults 0.333–3.0); the fake
+    dims span [16, 79] so the default range is discriminative."""
+    from data_juicer_spark.registry import OPERATORS
+
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("image"))
+    df = OPERATORS.get("image_metadata_mapper")(fake_decode=True).apply(df)
+    op = OPERATORS.get("image_aspect_ratio_filter")()
+    return op.apply(df).select(
+        "doc_id", F.col("image_meta.width").alias("width"),
+        F.col("image_meta.height").alias("height"))
+
+
+def _q_mapper_video_frame_sample(spark, sf_dir):
+    """video_frame_sample_mapper 1→N fan-out (3 deterministic byte-slice
+    frames per payload, mapInPandas); frames round-trip through hex so
+    the oracle can reproduce arbitrary byte slices without BLOB
+    functions (reference mapper/video_split_by_* family)."""
+    from data_juicer_spark.registry import OPERATORS
+
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("video"))
+    op = OPERATORS.get("video_frame_sample_mapper")(n_frames=3)
+    return op.apply(df).select(
+        "doc_id", "frame_id", F.hex(F.col("frame")).alias("frame_hex"))
+
+
+def _q_mapper_image_resize(spark, sf_dir):
+    """image_resize_mapper plumbing contract: every decoded payload
+    resizes to exactly width*height*3 raw RGB bytes (interpolation math
+    itself is pytest-golden-verified; the fake decode dims vary per
+    payload so the resize really runs)."""
+    from data_juicer_spark.registry import OPERATORS
+
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("image"))
+    op = OPERATORS.get("image_resize_mapper")(width=24, height=16)
+    return op.apply(df).select(
+        "doc_id", F.octet_length("image").cast("long").alias("image_bytes"))
+
+
+def _q_mapper_audio_noise(spark, sf_dir):
+    """audio_add_gaussian_noise_mapper with p=1.0 (the deterministic
+    always-noise path): the PCM round-trip truncates payloads to an even
+    byte count, which the oracle checks; the noise bytes themselves are
+    payload-seeded numpy (pytest-verified DSP)."""
+    from data_juicer_spark.registry import OPERATORS
+
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("audio"))
+    op = OPERATORS.get("audio_add_gaussian_noise_mapper")(p=1.0)
+    return op.apply(df).select(
+        "doc_id", F.octet_length("audio").cast("long").alias("audio_bytes"))
+
+
+def _q_mapper_ffmpeg_wrapped(spark, sf_dir):
+    """video_ffmpeg_wrapped_mapper + audio_ffmpeg_wrapped_mapper over
+    path columns: the subprocess runs distributed per-row with DLQ
+    status/error columns; in this container the ffmpeg binary is absent,
+    so the contract under test is the deterministic per-row failure
+    annotation (reference mapper/video_ffmpeg_wrapped_mapper.py:24-95 —
+    command construction is pytest-golden-verified)."""
+    from data_juicer_spark.registry import OPERATORS
+
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("/nonexistent/v_"), F.col("doc_id").cast("string"),
+                 F.lit(".mp4")).alias("video"),
+        F.concat(F.lit("/nonexistent/a_"), F.col("doc_id").cast("string"),
+                 F.lit(".wav")).alias("audio"),
+    )
+    df = OPERATORS.get("video_ffmpeg_wrapped_mapper")(
+        filter_name="scale", filter_kwargs={"w": 64, "h": 64}).apply(df)
+    df = OPERATORS.get("audio_ffmpeg_wrapped_mapper")(
+        filter_name="atempo", filter_kwargs={"tempo": 1.5}).apply(df)
+    return df.select("doc_id", "video_status", "video_error",
+                     "audio_status", "audio_error")
+
+
+def _q_mapper_download_file(spark, sf_dir):
+    """download_file_mapper over file:// URLs into a fixed fixture dir
+    (deterministic contents keyed on doc_id % 20, written idempotently
+    at plan-build time): distributed fetch, bytes into the save_field,
+    per-row status (reference mapper/download_file_mapper.py)."""
+    import os
+
+    from data_juicer_spark.registry import OPERATORS
+
+    root = "/tmp/djs_q_download"
+    os.makedirs(root, exist_ok=True)
+    for k in range(20):
+        with open(os.path.join(root, f"dl_{k}.txt"), "w") as fh:
+            fh.write(f"download-payload-{k}")
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit(f"file://{root}/dl_"),
+                 (F.col("doc_id") % 20).cast("string"),
+                 F.lit(".txt")).alias("url"),
+    )
+    op = OPERATORS.get("download_file_mapper")(
+        download_field="url", save_field="payload")
+    return op.apply(df).select(
+        "doc_id", F.col("url_status").alias("status"),
+        F.md5(F.col("payload")).alias("payload_md5"))
+
+
+def _q_mapper_python_file(spark, sf_dir):
+    """python_file_mapper: user .py source written at plan-build time,
+    validated on the driver, exec'd on executors (spark-submit-safe);
+    the transform appends a constant marker so the oracle is a pure
+    string concat (reference mapper/python_file_mapper.py:24-91)."""
+    import os
+
+    from data_juicer_spark.registry import OPERATORS
+
+    path = "/tmp/djs_q_pyfile.py"
+    if not os.path.exists(path):
+        with open(path, "w") as fh:
+            fh.write("def process_single(sample):\n"
+                     "    sample['text'] = sample['text'] + '::pyfile'\n"
+                     "    return sample\n")
+    op = OPERATORS.get("python_file_mapper")(file_path=path)
+    return op.apply(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5"))
+
+
+def _q_dedup_image_phash(spark, sf_dir):
+    """image_phash_deduplicator (rows-only: the stub decode produces a
+    sha-seeded numpy pseudo-image, so the phash is engine-native; the
+    8x8 mean-threshold phash math is pytest-verified). Appends
+    bit-identical payload copies so the keep-first path actually drops
+    rows (reference deduplicator/image_deduplicator.py)."""
+    from data_juicer_spark.registry import OPERATORS
+
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("image"))
+    dups = base.where(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "image")
+    op = OPERATORS.get("image_phash_deduplicator")(id_key="doc_id")
+    return op.apply(base.unionByName(dups)).select("doc_id")
+
+
+def _q_mapper_image_blur(spark, sf_dir):
+    """image_blur_mapper (rows-only: blur selection is payload-seeded
+    RNG, convolution is pytest-golden-verified); output is the payload
+    size so the blurred-vs-passthrough split is at least visible."""
+    from data_juicer_spark.registry import OPERATORS
+
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("image"))
+    op = OPERATORS.get("image_blur_mapper")(p=0.5, blur_type="gaussian",
+                                            radius=2)
+    return op.apply(df).select(
+        "doc_id", F.octet_length("image").cast("long").alias("image_bytes"))
+
+
+def _q_mapper_nlpcda_zh(spark, sf_dir):
+    """nlpcda_zh_mapper (rows-only: engine-seeded perturbation RNG;
+    contract + determinism pytest-asserted in tests/test_augment.py)."""
+    from data_juicer_spark.registry import OPERATORS
+
+    op = OPERATORS.get("nlpcda_zh_mapper")(
+        aug_num=2, replace_similar_word=True, text_key="text")
+    return op.apply(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+
+
 def _q_filter_embd_similarity(spark, sf_dir):
     from data_juicer_spark.registry import OPERATORS
 
@@ -986,68 +1200,37 @@ def _q_filter_words_num_bpe(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver evaluates the FIRST 50
-    entries, so first-time / changed / rows-only entries come first and
-    long-green veterans (driver-verified in CORRECTNESS_r01+r02) sit
-    beyond the cut."""
+    entries. Rotation policy (published in COVERAGE.md): every oracle
+    row gets a fresh driver verdict at least every 2 rounds. Round-4
+    window = changed/new rows (sessionize rewrite, 4 upgraded oracles,
+    13 first-contact media/file rows) + the 28 r01/r02-green veterans
+    last driver-checked in r02 + the 5 standing rows-only entries; the
+    41 rows driver-green in CORRECTNESS_r03 sit below the cut this
+    round and rotate back in next round."""
     return {
-        # -- §2 ops that had never received a driver verdict through r02
-        "mapper_remove_table_text": _q_mapper_remove_table_text,
-        "mapper_remove_incorrect_substrings": _q_mapper_remove_incorrect_substrings,
-        "mapper_remove_non_chinese": _q_mapper_remove_non_chinese,
-        "mapper_clean_html": _q_mapper_clean_html,
-        "mapper_text_chunk": _q_mapper_text_chunk,
-        "mapper_python_lambda": _q_mapper_python_lambda,
-        "filter_special_characters": _q_filter_special_characters,
-        "filter_flagged_words": _q_filter_flagged_words,
-        "filter_suffix": _q_filter_suffix,
-        "filter_specified_field": _q_filter_specified_field,
-        "grouper_naive": _q_grouper_naive,
-        "grouper_naive_reverse": _q_grouper_naive_reverse,
-        "filter_char_repetition": _q_filter_char_repetition,
-        "filter_word_repetition": _q_filter_word_repetition,
-        "filter_perplexity": _q_filter_perplexity,
-        "filter_language_id": _q_filter_language_id,
-        "mapper_clean_copyright": _q_mapper_clean_copyright,
-        "mapper_remove_repeat_sentences": _q_mapper_remove_repeat_sentences,
-        "filter_stopwords_multilang": _q_filter_stopwords_multilang,
-        "filter_words_num_bpe": _q_filter_words_num_bpe,
-        "analyzer_correlation": _q_analyzer_correlation,
-        "mapper_chinese_convert": _q_mapper_chinese_convert,
-        "filter_pair_similarity": _q_filter_pair_similarity,
-        # -- red in r02 / rounding-path rewritten this round
+        # -- changed this round (r1-r3 red; rewritten environment-proof)
         "events_sessionize": _q_events_sessionize,
-        "events_running_sum": _q_events_running_sum,
-        "events_hourly": _q_events_hourly,
-        "cdc_last_wins": _q_cdc_last_wins,
-        "tpch_q1_like": _q_tpch_q1_like,
-        "tpch_q3_like": _q_tpch_q3_like,
-        # -- new oracle rows this round
-        "mapper_expand_macro": _q_mapper_expand_macro,
-        "mapper_extract_tables": _q_mapper_extract_tables,
-        "filter_audio_size": _q_filter_audio_size,
-        "dedup_video": _q_dedup_video,
-        "cdc_replay_lake": _q_cdc_replay_lake,
-        "cdc_changelog": _q_cdc_changelog,
-        # -- rows-only entries (driver records row counts)
-        "dedup_minhash": _q_dedup_minhash,
-        "dedup_simhash": _q_dedup_simhash,
+        # -- rows-only -> full-oracle upgrades this round
+        "selector_random": _q_selector_random,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
-        "selector_random": _q_selector_random,
-        "similarity_lsh": _q_similarity_lsh,
-        "similarity_ivf": _q_similarity_ivf,
-        "mapper_nlpaug": _q_mapper_nlpaug,
-        # -- representative veterans (driver-green r01+r02)
-        "filter_text_length": _q_filter_text_length,
-        "dedup_exact": _q_dedup_exact,
-        "selector_topk": _q_selector_topk,
-        "selector_range": _q_selector_range,
-        "similarity_topk": _q_similarity_topk,
-        "group_stats": _q_group_stats,
-        "analyzer_summary": _q_analyzer_summary,
-        # ---------------- driver cut (first 50 above) ----------------
+        # -- first driver contact: media/file ops (synthesized payloads)
+        "filter_image_size": _q_filter_image_size,
+        "filter_audio_duration": _q_filter_audio_duration,
+        "filter_image_shape": _q_filter_image_shape,
+        "filter_image_aspect_ratio": _q_filter_image_aspect_ratio,
+        "mapper_video_frame_sample": _q_mapper_video_frame_sample,
+        "mapper_image_resize": _q_mapper_image_resize,
+        "mapper_audio_noise": _q_mapper_audio_noise,
+        "mapper_ffmpeg_wrapped": _q_mapper_ffmpeg_wrapped,
+        "mapper_download_file": _q_mapper_download_file,
+        "mapper_python_file": _q_mapper_python_file,
+        "dedup_image_phash": _q_dedup_image_phash,
+        "mapper_image_blur": _q_mapper_image_blur,
+        "mapper_nlpcda_zh": _q_mapper_nlpcda_zh,
+        # -- veterans rotating back in (last driver verdict: r02; six of
+        #    them changed in r3 and were mirror-re-verified only)
         "filter_embd_similarity": _q_filter_embd_similarity,
-        # veterans below were all driver-green in CORRECTNESS_r01+r02
         "quality_score": _q_quality_score,
         "filter_stopwords": _q_filter_stopwords,
         "filter_alphanumeric": _q_filter_alphanumeric,
@@ -1075,6 +1258,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "selector_tags": _q_selector_tags,
         "grouper_key_value": _q_grouper_key_value,
         "filter_words_num": _q_filter_words_num,
+        # -- standing rows-only entries (driver records row counts)
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "similarity_lsh": _q_similarity_lsh,
+        "similarity_ivf": _q_similarity_ivf,
+        "mapper_nlpaug": _q_mapper_nlpaug,
+        # ---------------- driver cut (first 50 above) ----------------
+        # everything below was driver-green in CORRECTNESS_r03 and
+        # rotates back into the window next round
+        "mapper_remove_table_text": _q_mapper_remove_table_text,
+        "mapper_remove_incorrect_substrings": _q_mapper_remove_incorrect_substrings,
+        "mapper_remove_non_chinese": _q_mapper_remove_non_chinese,
+        "mapper_clean_html": _q_mapper_clean_html,
+        "mapper_text_chunk": _q_mapper_text_chunk,
+        "mapper_python_lambda": _q_mapper_python_lambda,
+        "filter_special_characters": _q_filter_special_characters,
+        "filter_flagged_words": _q_filter_flagged_words,
+        "filter_suffix": _q_filter_suffix,
+        "filter_specified_field": _q_filter_specified_field,
+        "grouper_naive": _q_grouper_naive,
+        "grouper_naive_reverse": _q_grouper_naive_reverse,
+        "filter_char_repetition": _q_filter_char_repetition,
+        "filter_word_repetition": _q_filter_word_repetition,
+        "filter_perplexity": _q_filter_perplexity,
+        "filter_language_id": _q_filter_language_id,
+        "mapper_clean_copyright": _q_mapper_clean_copyright,
+        "mapper_remove_repeat_sentences": _q_mapper_remove_repeat_sentences,
+        "filter_stopwords_multilang": _q_filter_stopwords_multilang,
+        "filter_words_num_bpe": _q_filter_words_num_bpe,
+        "analyzer_correlation": _q_analyzer_correlation,
+        "mapper_chinese_convert": _q_mapper_chinese_convert,
+        "filter_pair_similarity": _q_filter_pair_similarity,
+        "events_running_sum": _q_events_running_sum,
+        "events_hourly": _q_events_hourly,
+        "cdc_last_wins": _q_cdc_last_wins,
+        "tpch_q1_like": _q_tpch_q1_like,
+        "tpch_q3_like": _q_tpch_q3_like,
+        "mapper_expand_macro": _q_mapper_expand_macro,
+        "mapper_extract_tables": _q_mapper_extract_tables,
+        "filter_audio_size": _q_filter_audio_size,
+        "dedup_video": _q_dedup_video,
+        "cdc_replay_lake": _q_cdc_replay_lake,
+        "cdc_changelog": _q_cdc_changelog,
+        "filter_text_length": _q_filter_text_length,
+        "dedup_exact": _q_dedup_exact,
+        "selector_topk": _q_selector_topk,
+        "selector_range": _q_selector_range,
+        "similarity_topk": _q_similarity_topk,
+        "group_stats": _q_group_stats,
+        "analyzer_summary": _q_analyzer_summary,
     }
 
 
@@ -2124,12 +2357,101 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id FROM v
             WHERE vec_id NOT IN (SELECT node FROM comp WHERE component < node)
         """,
+        "filter_image_size": """
+            SELECT doc_id, octet_length(encode(text)) AS image_bytes
+            FROM documents
+            WHERE octet_length(encode(text)) BETWEEN 300 AND 2048
+        """,
+        "filter_audio_duration": """
+            SELECT doc_id, octet_length(encode(text)) AS audio_bytes
+            FROM documents
+            WHERE octet_length(encode(text)) / 32000.0 BETWEEN 0.005 AND 0.05
+        """,
+        # fake decode dims are a pure function of the payload sha256
+        # (multimodal._decode_image): w = 16 + byte0 % 64,
+        # h = 16 + byte1 % 64 — parse the hex digest bytes in SQL
+        "filter_image_shape": """
+            WITH m AS (
+              SELECT doc_id,
+                     (strpos('0123456789abcdef', substr(sha256(text), 1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substr(sha256(text), 2, 1)) - 1) AS b0,
+                     (strpos('0123456789abcdef', substr(sha256(text), 3, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substr(sha256(text), 4, 1)) - 1) AS b1
+              FROM documents
+            )
+            SELECT doc_id, 16 + b0 % 64 AS width, 16 + b1 % 64 AS height
+            FROM m
+            WHERE 16 + b0 % 64 BETWEEN 24 AND 72
+              AND 16 + b1 % 64 BETWEEN 20 AND 76
+        """,
+        "filter_image_aspect_ratio": """
+            WITH m AS (
+              SELECT doc_id,
+                     (strpos('0123456789abcdef', substr(sha256(text), 1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substr(sha256(text), 2, 1)) - 1) AS b0,
+                     (strpos('0123456789abcdef', substr(sha256(text), 3, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substr(sha256(text), 4, 1)) - 1) AS b1
+              FROM documents
+            )
+            SELECT doc_id, 16 + b0 % 64 AS width, 16 + b1 % 64 AS height
+            FROM m
+            WHERE (16 + b0 % 64) * 1.0 / (16 + b1 % 64) >= 0.333
+              AND (16 + b0 % 64) * 1.0 / (16 + b1 % 64) <= 3.0
+        """,
+        "mapper_video_frame_sample": """
+            WITH d AS (
+              SELECT doc_id, hex(encode(text)) AS hx,
+                     greatest(octet_length(encode(text)) // 3, 1) AS step
+              FROM documents
+            )
+            SELECT doc_id, CAST(t.i AS INT) AS frame_id,
+                   CASE WHEN substr(hx, CAST(t.i * step * 2 + 1 AS INT),
+                                    CAST(step * 2 AS INT)) = ''
+                        THEN '00'
+                        ELSE substr(hx, CAST(t.i * step * 2 + 1 AS INT),
+                                    CAST(step * 2 AS INT)) END AS frame_hex
+            FROM d, unnest(range(3)) AS t(i)
+        """,
+        "mapper_image_resize": """
+            SELECT doc_id, 24 * 16 * 3 AS image_bytes FROM documents
+        """,
+        "mapper_audio_noise": """
+            SELECT doc_id,
+                   CASE WHEN octet_length(encode(text)) < 2
+                        THEN octet_length(encode(text))
+                        ELSE octet_length(encode(text))
+                             - octet_length(encode(text)) % 2
+                   END AS audio_bytes
+            FROM documents
+        """,
+        "mapper_ffmpeg_wrapped": """
+            SELECT doc_id,
+                   'failed' AS video_status,
+                   'NotImplementedError: ffmpeg binary not on executor PATH'
+                     AS video_error,
+                   'failed' AS audio_status,
+                   'NotImplementedError: ffmpeg binary not on executor PATH'
+                     AS audio_error
+            FROM documents
+        """,
+        "mapper_download_file": """
+            SELECT doc_id, 'success' AS status,
+                   md5('download-payload-' || CAST(doc_id % 20 AS VARCHAR))
+                     AS payload_md5
+            FROM documents
+        """,
+        "mapper_python_file": """
+            SELECT doc_id, md5(text || '::pyfile') AS text_md5
+            FROM documents
+        """,
         # NO oracle (rows-only checks; not SQL-expressible):
         # dedup_minhash / dedup_simhash (LSH / hamming-block clustering
         # over engine-native hashes; exhaustive sequential-oracle pytest
         # in tests/test_dedup_oracle.py), similarity_lsh (approximate
-        # recall), similarity_ivf (kmeans-seeded lists), mapper_nlpaug
-        # (seeded-RNG augmentation; golden pytest).
+        # recall), similarity_ivf (kmeans-seeded lists), mapper_nlpaug /
+        # mapper_nlpcda_zh (seeded-RNG augmentation; golden pytests),
+        # dedup_image_phash (sha-seeded numpy pseudo-image decode),
+        # mapper_image_blur (payload-seeded blur selection).
     }
 
 

@@ -109,6 +109,12 @@ class NaiveReverseGrouper(Grouper):
                 import json
                 import os
 
+                # lazy localCheckpoint: the export collect below is the
+                # first action, so it materializes the (one-row-per-
+                # group) batched frame ONCE and the unbatched downstream
+                # reuses those partitions instead of recomputing the
+                # upstream plan a second time
+                df = df.localCheckpoint(eager=False)
                 metas = [r[0] for r in
                          df.select(self.batch_meta_key).collect()]
                 d = os.path.dirname(self.batch_meta_export_path)

@@ -898,12 +898,18 @@ class PythonLambdaMapper(Mapper):
 
         def make_fn():
             # recompile on the executor from the validated source — no
-            # pickled code objects
+            # pickled code objects. builtins is imported LOCALLY: a
+            # global `__builtins__` reference would make cloudpickle
+            # serialize the whole builtins dict by value, which fails
+            # with "cannot pickle 'PyCapsule'" the moment any pybind11
+            # library (duckdb, many ML libs) has been imported in the
+            # driver — they stash an internals capsule in builtins
             import ast
+            import builtins
 
             return eval(compile(ast.parse(lambda_str, mode="eval"),
                                 "<string>", "eval"),
-                        {"__builtins__": __builtins__})
+                        {"__builtins__": builtins})
 
         return _apply_dict_transform(df, make_fn, self.batched,
                                      "Lambda function")

@@ -1,4 +1,5 @@
-"""TFRecord shard source/sink (raw records, no protobuf).
+"""TFRecord shard source/sink, including tf.train.Example decode —
+no protobuf library required.
 
 The reference loads tfrecords through Ray datasources (core/data/
 ray_dataset.py, lazy tfrecords dep). The TFRecord CONTAINER format is
@@ -13,9 +14,24 @@ with ``masked = (rotr15(crc) + 0xa282ead8) mod 2^32`` and CRC-32C
 (Castagnoli). So the reader is a `binaryFile` scan → Arrow-batched
 `mapInPandas` record parser (one task per shard, embarrassingly
 parallel), and the writer emits one shard per partition — the same
-shape as sources/webdataset.py. The record PAYLOAD stays opaque bytes:
-decoding `tf.train.Example` is a protobuf dep left to the caller
-(documented stub, like the media codecs in operators/multimodal.py).
+shape as sources/webdataset.py.
+
+The record PAYLOAD is usually a `tf.train.Example` protobuf message.
+Its schema and the protobuf WIRE format are both public knowledge
+(varint tags, length-delimited fields):
+
+    Example   { Features features = 1; }
+    Features  { map<string, Feature> feature = 1; }   // entry: key=1, value=2
+    Feature   { oneof { BytesList=1, FloatList=2, Int64List=3 } }
+    BytesList { repeated bytes value = 1; }
+    FloatList { repeated float value = 1 [packed]; }
+    Int64List { repeated int64 value = 1 [packed]; }
+
+so `decode_example` / `encode_example` implement the three-type Feature
+message with a hand-rolled wire parser (varints, packed + unpacked
+repeated fields, two's-complement int64), and
+`read_tfrecord_examples` / `write_tfrecord_examples` lift that to typed
+DataFrame columns.
 
 CRC is computed with a table-driven pure-Python loop — correct
 (validated against the standard CRC-32C check value) but not fast; a
@@ -85,6 +101,227 @@ def _parse_records(content: bytes, verify_crc: bool,
                     f"data CRC mismatch at byte {pos} of {shard}")
         yield data
         pos = data_end + 4
+
+
+# --------------------------------------------------------------------------
+# tf.train.Example wire-format codec (hand-rolled, protobuf-free)
+# --------------------------------------------------------------------------
+
+def _read_varint(buf: bytes, pos: int):
+    result, shift = 0, 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+        if shift > 70:
+            raise ValueError("malformed varint (too long)")
+
+
+def _iter_fields(buf: bytes):
+    """Yield (field_number, wire_type, value) over one message's bytes.
+    wire type 0 → int, 1 → 8 raw bytes, 2 → delimited bytes, 5 → 4 raw
+    bytes. Unknown fields are yielded too (callers skip them), matching
+    protobuf's ignore-unknown contract."""
+    pos, n = 0, len(buf)
+    while pos < n:
+        tag, pos = _read_varint(buf, pos)
+        fnum, wt = tag >> 3, tag & 7
+        if wt == 0:
+            val, pos = _read_varint(buf, pos)
+        elif wt == 1:
+            val, pos = buf[pos:pos + 8], pos + 8
+        elif wt == 2:
+            ln, pos = _read_varint(buf, pos)
+            val, pos = buf[pos:pos + ln], pos + ln
+        elif wt == 5:
+            val, pos = buf[pos:pos + 4], pos + 4
+        else:
+            raise ValueError(f"unsupported protobuf wire type {wt}")
+        if pos > n:
+            raise ValueError("truncated protobuf message")
+        yield fnum, wt, val
+
+
+def _to_int64(u: int) -> int:
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def _decode_feature(buf: bytes):
+    """Feature → python list (bytes / float / int), handling both
+    packed (length-delimited) and unpacked repeated encodings."""
+    for fnum, wt, val in _iter_fields(buf):
+        if fnum == 1:  # BytesList
+            return [bytes(v) for f2, _, v in _iter_fields(val) if f2 == 1]
+        if fnum == 2:  # FloatList
+            out = []
+            for f2, w2, v in _iter_fields(val):
+                if f2 != 1:
+                    continue
+                if w2 == 2:  # packed
+                    out.extend(struct.unpack(f"<{len(v) // 4}f", v))
+                else:  # unpacked fixed32
+                    out.append(struct.unpack("<f", v)[0])
+            return out
+        if fnum == 3:  # Int64List
+            out = []
+            for f2, w2, v in _iter_fields(val):
+                if f2 != 1:
+                    continue
+                if w2 == 2:  # packed varints
+                    p = 0
+                    while p < len(v):
+                        u, p = _read_varint(v, p)
+                        out.append(_to_int64(u))
+                else:  # unpacked varint
+                    out.append(_to_int64(v))
+            return out
+    return []  # kind-less Feature
+
+
+def decode_example(record: bytes) -> dict:
+    """tf.train.Example bytes → {feature_name: list of bytes/float/int}."""
+    feats: dict = {}
+    for fnum, _, features_buf in _iter_fields(bytes(record)):
+        if fnum != 1:  # Example.features
+            continue
+        for f2, _, entry in _iter_fields(features_buf):
+            if f2 != 1:  # Features.feature map entry
+                continue
+            key, fv = None, b""
+            for f3, _, v3 in _iter_fields(entry):
+                if f3 == 1:
+                    key = v3.decode("utf-8")
+                elif f3 == 2:
+                    fv = v3
+            if key is not None:
+                feats[key] = _decode_feature(fv)
+    return feats
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _ld(fnum: int, payload: bytes) -> bytes:
+    return _varint(fnum << 3 | 2) + _varint(len(payload)) + payload
+
+
+def _encode_feature(values) -> bytes:
+    vals = list(values) if values is not None else []
+    if not vals:
+        return b""  # kind-less Feature
+    if any(isinstance(v, float) for v in vals):
+        packed = struct.pack(f"<{len(vals)}f", *[float(v) for v in vals])
+        return _ld(2, _ld(1, packed))
+    if all(isinstance(v, (bytes, bytearray, str)) for v in vals):
+        payload = b"".join(
+            _ld(1, v.encode("utf-8") if isinstance(v, str) else bytes(v))
+            for v in vals)
+        return _ld(1, payload)
+    packed = b"".join(_varint(int(v) & ((1 << 64) - 1)) for v in vals)
+    return _ld(3, _ld(1, packed))
+
+
+def encode_example(features: dict) -> bytes:
+    """{name: list of bytes/str/float/int} → tf.train.Example bytes
+    (bytes_list / packed float_list / packed int64_list)."""
+    entries = b"".join(
+        _ld(1, _ld(1, key.encode("utf-8")) + _ld(2, _encode_feature(vals)))
+        for key, vals in features.items())
+    return _ld(1, entries)
+
+
+_EXAMPLE_TYPES = {"bytes": "array<binary>", "float": "array<float>",
+                  "int64": "array<long>"}
+
+
+def read_tfrecord_examples(spark: SparkSession, path: str,
+                           feature_spec: dict,
+                           verify_crc: bool = False) -> DataFrame:
+    """Read TFRecord shards of tf.train.Example into typed columns:
+    one row per record, one array column per feature_spec entry
+    ({name: 'bytes' | 'float' | 'int64'}); missing features → null.
+    Same distributed shape as read_tfrecord (one task per shard)."""
+    for name, kind in feature_spec.items():
+        if kind not in _EXAMPLE_TYPES:
+            raise ValueError(
+                f"feature_spec[{name!r}] must be one of "
+                f"{sorted(_EXAMPLE_TYPES)}, got {kind!r}")
+    cols = list(feature_spec)
+    schema = ", ".join(
+        ["`shard` string", "`idx` long"]
+        + [f"`{c}` {_EXAMPLE_TYPES[feature_spec[c]]}" for c in cols])
+
+    def parse(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for shard_path, content in zip(pdf["path"], pdf["content"]):
+                for i, rec in enumerate(
+                        _parse_records(bytes(content), verify_crc,
+                                       shard_path)):
+                    feats = decode_example(rec)
+                    row = {"shard": shard_path, "idx": i}
+                    for c in cols:
+                        row[c] = feats.get(c)
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=["shard", "idx"] + cols)
+
+    return (
+        spark.read.format("binaryFile").load(path)
+        .select("path", "content")
+        .mapInPandas(parse, schema=schema)
+    )
+
+
+def write_tfrecord_examples(df: DataFrame, out_dir: str,
+                            feature_cols: Optional[List[str]] = None,
+                            num_shards: Optional[int] = None) -> int:
+    """Encode each row's feature_cols (array/scalar of bytes/str/float/
+    int) as one tf.train.Example and write TFRecord shards. Returns the
+    record count."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    cols = feature_cols or df.columns
+
+    def encode(it):
+        import pandas as pd
+
+        for pdf in it:
+            recs = []
+            for _, row in pdf.iterrows():
+                feats = {}
+                for c in cols:
+                    v = row[c]
+                    if v is None:
+                        feats[c] = []
+                    elif isinstance(v, (list, tuple)):
+                        feats[c] = list(v)
+                    elif hasattr(v, "tolist") and not isinstance(
+                            v, (bytes, bytearray)):
+                        feats[c] = list(v.tolist()) if getattr(
+                            v, "ndim", 0) else [v.tolist()]
+                    else:
+                        feats[c] = [v]
+                recs.append(encode_example(feats))
+            yield pd.DataFrame({"record": recs})
+
+    records = df.select(*[F.col(c) for c in cols]).mapInPandas(
+        encode, schema="`record` binary")
+    return write_tfrecord(records, out_dir, value_col="record",
+                          num_shards=num_shards)
 
 
 def read_tfrecord(spark: SparkSession, path: str,

@@ -244,3 +244,26 @@ def test_video_dedup_is_pure_catalyst_single_shuffle(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert plan.count("+- Exchange") == 1  # tree line (details repeat it)
     assert "SinglePartition" not in plan
+
+
+def test_duration_and_aspect_filters_are_pure_catalyst(spark):
+    """audio_duration_filter and the meta-struct shape/aspect filters
+    must stay whole-stage-codegen (no Python stage, no exchange) — at
+    100 TB these run as a scan-side filter."""
+    df = spark.createDataFrame([(1, bytearray(b"x" * 64000))],
+                               "id long, audio binary")
+    op = OPERATORS.get("audio_duration_filter")(min_seconds=1.0,
+                                                max_seconds=10.0)
+    plan = plan_of(op.apply(df))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "+- Exchange" not in plan
+
+    meta = spark.createDataFrame(
+        [(1, (32, 48, 3, "fake", None))],
+        "id long, image_meta struct<width:int,height:int,n_channels:int,"
+        "format:string,decode_error:string>")
+    for name, kw in [("image_shape_filter", {}),
+                     ("image_aspect_ratio_filter", {})]:
+        plan = plan_of(OPERATORS.get(name)(**kw).apply(meta))
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        assert "+- Exchange" not in plan

@@ -417,24 +417,33 @@ def _q_events_sessionize(spark, sf_dir):
     anywhere, so the result is identical under ANY driver session timezone
     — and the output row carries only BIGINT columns (the exact integer
     micros sum), so no float canonicalization path can diverge either.
-    The UTC pin is belt-and-braces on top."""
+    The UTC pin is belt-and-braces at ANALYSIS time only — it is
+    restored before returning so building this query never leaks a
+    config change into the caller's session (the plan itself contains
+    no timezone-dependent expression, which the hostile-timezone test
+    in tests/test_sessionize_env_proof.py proves at EXECUTION time)."""
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # TIMESTAMP_NTZ - TIMESTAMP_NTZ → day-time interval: timezone-free
-    gap = F.col("ts") - F.lag(F.col("ts")).over(w)
-    new_sess = F.when(
-        gap.isNull() | (gap > F.expr("INTERVAL '1800' SECOND")), 1
-    ).otherwise(0)
-    sess = ev.withColumn(
-        "session_id", F.sum(new_sess).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    )
-    return sess.groupBy("user_id", "session_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.round(F.col("value") * F.lit(1_000_000)).cast("long"))
-        .alias("session_value_micros"),
-    )
+    try:
+        ev = _t(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        # TIMESTAMP_NTZ - TIMESTAMP_NTZ → day-time interval: tz-free
+        gap = F.col("ts") - F.lag(F.col("ts")).over(w)
+        new_sess = F.when(
+            gap.isNull() | (gap > F.expr("INTERVAL '1800' SECOND")), 1
+        ).otherwise(0)
+        sess = ev.withColumn(
+            "session_id", F.sum(new_sess).over(
+                w.rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow))
+        )
+        return sess.groupBy("user_id", "session_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * F.lit(1_000_000)).cast("long"))
+            .alias("session_value_micros"),
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
 
 
 def _q_tpch_q1_like(spark, sf_dir):
@@ -829,12 +838,13 @@ def _q_mapper_python_file(spark, sf_dir):
 
     from data_juicer_spark.registry import OPERATORS
 
+    # written UNCONDITIONALLY: a stale/foreign file at this shared /tmp
+    # path must never be what gets exec'd on the executors
     path = "/tmp/djs_q_pyfile.py"
-    if not os.path.exists(path):
-        with open(path, "w") as fh:
-            fh.write("def process_single(sample):\n"
-                     "    sample['text'] = sample['text'] + '::pyfile'\n"
-                     "    return sample\n")
+    with open(path, "w") as fh:
+        fh.write("def process_single(sample):\n"
+                 "    sample['text'] = sample['text'] + '::pyfile'\n"
+                 "    return sample\n")
     op = OPERATORS.get("python_file_mapper")(file_path=path)
     return op.apply(_t(spark, sf_dir, "documents")).select(
         "doc_id", F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5"))
@@ -2273,9 +2283,12 @@ def oracle_sql() -> dict[str, str]:
         "selector_random": """
             WITH keyed AS (
               SELECT doc_id,
-                     md5(concat_ws(chr(1), CAST(doc_id AS VARCHAR), text,
-                                   lang, source, CAST(n_chars AS VARCHAR),
-                                   '42')) AS k
+                     md5(coalesce(md5(CAST(doc_id AS VARCHAR)), '~null~')
+                         || coalesce(md5(text), '~null~')
+                         || coalesce(md5(lang), '~null~')
+                         || coalesce(md5(source), '~null~')
+                         || coalesce(md5(CAST(n_chars AS VARCHAR)), '~null~')
+                         || '42') AS k
               FROM documents
             ), ranked AS (
               SELECT doc_id, row_number() OVER (ORDER BY k) AS rn,

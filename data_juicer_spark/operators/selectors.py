@@ -259,11 +259,15 @@ class RandomSelector(Selector):
     so stable under shuffle/recompute — F.rand is not), ranked with the
     same exact prefix-sum machinery as the other selectors. No global
     TakeOrdered merge, no extra count() scan — k≈n stays fully
-    distributed. md5(concat_ws(0x01, cols…, seed)) rather than
-    xxhash64 because BOTH Spark and DuckDB compute it natively and
-    identically on string-castable columns, which makes the sample
-    engine-portable and therefore oracle-checkable (round-3 VERDICT
-    item 2); non-scalar columns degrade to Spark's string rendering
+    distributed. md5 rather than xxhash64 because BOTH Spark and DuckDB
+    compute it natively and identically on string-castable columns,
+    which makes the sample engine-portable and therefore
+    oracle-checkable (round-3 VERDICT item 2). The row key is
+    md5(concat(per-column md5 ‖ seed)) — each column hashed SEPARATELY
+    to fixed-width hex with a distinct null sentinel, so NULL columns
+    and separator bytes inside values cannot shift field boundaries and
+    collapse distinct rows (a plain concat_ws would: it silently skips
+    NULLs). Non-scalar columns degrade to Spark's string rendering
     (still deterministic, just not oracle-portable)."""
 
     def __init__(self, select_ratio: Optional[float] = None,
@@ -280,8 +284,9 @@ class RandomSelector(Selector):
 
         from data_juicer_spark.functions.ranks import exclusive_prefix_sum
 
-        key = F.md5(F.concat_ws(
-            "\x01", *[F.col(c).cast("string") for c in df.columns],
+        key = F.md5(F.concat(
+            *[F.coalesce(F.md5(F.col(c).cast("string")), F.lit("~null~"))
+              for c in df.columns],
             F.lit(str(self.seed))))
         cnts = df.groupBy(key.alias("__v__")).agg(
             F.count(F.lit(1)).alias("__w__"))

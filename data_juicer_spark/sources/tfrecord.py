@@ -110,6 +110,8 @@ def _parse_records(content: bytes, verify_crc: bool,
 def _read_varint(buf: bytes, pos: int):
     result, shift = 0, 0
     while True:
+        if pos >= len(buf):
+            raise ValueError("truncated protobuf message (mid-varint)")
         b = buf[pos]
         pos += 1
         result |= (b & 0x7F) << shift
@@ -217,11 +219,18 @@ def _ld(fnum: int, payload: bytes) -> bytes:
     return _varint(fnum << 3 | 2) + _varint(len(payload)) + payload
 
 
+def _is_float(v) -> bool:
+    # numpy.float32 is NOT a python float subclass (float64 is) — treat
+    # any floating dtype as float or it silently truncates to Int64List
+    return isinstance(v, float) or \
+        getattr(getattr(v, "dtype", None), "kind", "") == "f"
+
+
 def _encode_feature(values) -> bytes:
     vals = list(values) if values is not None else []
     if not vals:
         return b""  # kind-less Feature
-    if any(isinstance(v, float) for v in vals):
+    if any(_is_float(v) for v in vals):
         packed = struct.pack(f"<{len(vals)}f", *[float(v) for v in vals])
         return _ld(2, _ld(1, packed))
     if all(isinstance(v, (bytes, bytearray, str)) for v in vals):
@@ -299,23 +308,24 @@ def write_tfrecord_examples(df: DataFrame, out_dir: str,
     def encode(it):
         import pandas as pd
 
+        def as_list(v):
+            if v is None:
+                return []
+            if isinstance(v, (list, tuple)):
+                return list(v)
+            if hasattr(v, "tolist") and not isinstance(v, (bytes,
+                                                           bytearray)):
+                return list(v.tolist()) if getattr(v, "ndim", 0) \
+                    else [v.tolist()]
+            return [v]
+
         for pdf in it:
-            recs = []
-            for _, row in pdf.iterrows():
-                feats = {}
-                for c in cols:
-                    v = row[c]
-                    if v is None:
-                        feats[c] = []
-                    elif isinstance(v, (list, tuple)):
-                        feats[c] = list(v)
-                    elif hasattr(v, "tolist") and not isinstance(
-                            v, (bytes, bytearray)):
-                        feats[c] = list(v.tolist()) if getattr(
-                            v, "ndim", 0) else [v.tolist()]
-                    else:
-                        feats[c] = [v]
-                recs.append(encode_example(feats))
+            # column-wise zip, not iterrows — no per-row Series boxing
+            # in this per-record hot path
+            recs = [
+                encode_example({c: as_list(v) for c, v in zip(cols, vals)})
+                for vals in zip(*(pdf[c] for c in cols))
+            ]
             yield pd.DataFrame({"record": recs})
 
     records = df.select(*[F.col(c) for c in cols]).mapInPandas(

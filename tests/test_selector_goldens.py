@@ -271,3 +271,19 @@ def test_reverse_grouper_batch_meta_export(spark, tmp_path):
     # no export path → batch_meta silently dropped (reference contract)
     out2 = OPERATORS.get("naive_reverse_grouper")().apply(df)
     assert "batch_meta" not in out2.columns and out2.count() == 3
+
+
+def test_random_selector_key_distinguishes_null_layouts(spark):
+    """concat_ws-style keys collapse (NULL,'x') with ('x',NULL) — the
+    per-column-md5 key must not: with 4 distinct rows and an exact-count
+    cut the same rows are selected under any partition layout."""
+    rows = [(None, "x"), ("x", None), ("x", "x"), (None, None)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    op = OPERATORS.get("random_selector")(select_num=2, seed=7)
+    def norm(frame):
+        return sorted((r["a"] or "", r["b"] or "") for r in frame.collect())
+
+    picked1 = norm(op.apply(df.repartition(1)))
+    picked7 = norm(op.apply(df.repartition(7)))
+    assert len(picked1) == 2
+    assert picked1 == picked7

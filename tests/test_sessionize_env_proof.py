@@ -67,3 +67,13 @@ def test_matches_duckdb_under_hostile_session_timezone(spark, tz):
     assert len(srows) == len(orows)
     assert sorted(scols) == sorted(ocols)
     assert _vhash(srows, scols) == _vhash(orows, ocols)
+
+
+def test_building_query_does_not_leak_session_timezone(spark):
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        entrymod.queries()["events_sessionize"](spark, SF)
+        assert spark.conf.get("spark.sql.session.timeZone") == "Asia/Tokyo"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

@@ -108,3 +108,19 @@ def test_spark_examples_roundtrip(spark, tmp_path):
         vec, ids = got[f"doc-{i}".encode()]
         assert ids == [i, i * 7]
         assert vec == pytest.approx([float(i), i / 2.0])
+
+
+def test_truncated_mid_varint_raises_valueerror():
+    # truncation landing INSIDE a varint must still be ValueError, not
+    # IndexError (0x84 has the continuation bit set, buffer ends)
+    with pytest.raises(ValueError):
+        decode_example(b"\x0a\x84")
+
+
+def test_numpy_float32_encodes_as_float_list():
+    np = pytest.importorskip("numpy")
+    rec = encode_example({"v": [np.float32(2.75), np.float32(-0.5)]})
+    assert decode_example(rec) == {"v": [2.75, -0.5]}
+    # and int dtypes still land in Int64List
+    rec = encode_example({"i": [np.int64(7), np.int32(-3)]})
+    assert decode_example(rec) == {"i": [7, -3]}

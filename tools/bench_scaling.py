@@ -156,37 +156,19 @@ def main() -> None:
         "met": eff >= 0.8,
     }
     print(json.dumps(result, indent=2))
-    section = (
-        "\n## Measured scaling (this repo, sandbox evidence for the north rule)\n\n"
-        f"Same CDC replay job ({EVENTS} events, {EPOCHS} epochs, identical\n"
-        f"deterministic input, warmed-up/sustained measurement) at two cluster\n"
-        f"sizes — `local-cluster[K,{CORES},{MEM_MB}]` = K separate executor JVMs:\n\n"
-        f"| cluster | wall s | events/s |\n|---|---|---|\n"
-        f"| {N_EXEC} executor × {CORES} cores (N) | {lo['seconds']} | {lo['events_per_sec']} |\n"
-        f"| {4*N_EXEC} executors × {CORES} cores (4N) | {hi['seconds']} | {hi['events_per_sec']} |\n\n"
-        f"**Scaling efficiency tput@4N/(4×tput@N) = {eff:.3f}** "
-        f"(criterion ≥ 0.8: {'MET' if eff >= 0.8 else 'NOT MET'}). "
-        f"Final-table key counts identical across both runs "
-        f"({lo['final_keys']} keys).\n\n"
-        "Why N=2-core executors: both simulated clusters share ONE host's\n"
-        "DRAM bandwidth. At 32 busy cores the byte-level stats (n-gram\n"
-        "np.unique, bigram scans) hit that wall — a measured ~2.6× ceiling\n"
-        "for ANY 8→32-core layout on this box (e.g. 1×8 vs 4×8 executors:\n"
-        "7254 → 10245 ev/s, eff 0.35), while a real 4N-executor cluster\n"
-        "multiplies DRAM channels with nodes. At 2→8 cores the same job\n"
-        "measures the engine rather than the socket: the pure compute\n"
-        "stage scales 31.2s → 8.6s (3.63×, eff 0.91) and the full replay\n"
-        "efficiency is reported above.\n"
+    # Append-only: BASELINE.md's scaling section is hand-curated (the
+    # all-samples honesty table must survive); just add this run as a
+    # sample row the curator folds in.
+    row = (
+        f"| 1x{CORES} vs 4x{CORES}, {EVENTS//1000}k ev (tool-appended) "
+        f"| {lo['events_per_sec']} | {hi['events_per_sec']} "
+        f"| {'**' if eff >= 0.8 else ''}{eff:.3f}"
+        f"{' MET**' if eff >= 0.8 else ' not met'} | see run log |\n"
     )
     path = os.path.join(REPO, "BASELINE.md")
-    with open(path) as f:
-        txt = f.read()
-    marker = "\n## Measured scaling (this repo"
-    if marker in txt:
-        txt = txt[: txt.index(marker)]
-    with open(path, "w") as f:
-        f.write(txt + section)
-    print("BASELINE.md updated")
+    with open(path, "a") as f:
+        f.write("\n<!-- bench_scaling.py sample -->\n" + row)
+    print("BASELINE.md: sample row appended")
 
 
 if __name__ == "__main__":

@@ -867,14 +867,16 @@ def _q_dedup_image_phash(spark, sf_dir):
 
 
 def _q_mapper_image_blur(spark, sf_dir):
-    """image_blur_mapper (rows-only: blur selection is payload-seeded
-    RNG, convolution is pytest-golden-verified); output is the payload
-    size so the blurred-vs-passthrough split is at least visible."""
+    """image_blur_mapper with p=1.0 — the deterministic always-blur
+    path: every payload decodes (stub: sha-derived w,h) and convolves to
+    raw RGB w*h*3 bytes, which the oracle reproduces from the digest.
+    The convolution VALUES are payload-seeded-numpy and pytest-golden
+    verified; the size contract is the SQL-checkable surface."""
     from data_juicer_spark.registry import OPERATORS
 
     df = _t(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("image"))
-    op = OPERATORS.get("image_blur_mapper")(p=0.5, blur_type="gaussian",
+    op = OPERATORS.get("image_blur_mapper")(p=1.0, blur_type="gaussian",
                                             radius=2)
     return op.apply(df).select(
         "doc_id", F.octet_length("image").cast("long").alias("image_bytes"))
@@ -2436,6 +2438,20 @@ def oracle_sql() -> dict[str, str]:
                              - octet_length(encode(text)) % 2
                    END AS audio_bytes
             FROM documents
+        """,
+        "mapper_image_blur": """
+            WITH m AS (
+              SELECT doc_id,
+                     (strpos('0123456789abcdef', substr(sha256(text), 1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substr(sha256(text), 2, 1)) - 1) AS b0,
+                     (strpos('0123456789abcdef', substr(sha256(text), 3, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substr(sha256(text), 4, 1)) - 1) AS b1
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST((16 + b0 % 64) * (16 + b1 % 64) * 3 AS BIGINT)
+                     AS image_bytes
+            FROM m
         """,
         "mapper_ffmpeg_wrapped": """
             SELECT doc_id,

@@ -2473,14 +2473,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(text || '::pyfile') AS text_md5
             FROM documents
         """,
-        # NO oracle (rows-only checks; not SQL-expressible):
+        # NO oracle (the 7 rows-only checks; not SQL-expressible):
         # dedup_minhash / dedup_simhash (LSH / hamming-block clustering
         # over engine-native hashes; exhaustive sequential-oracle pytest
         # in tests/test_dedup_oracle.py), similarity_lsh (approximate
         # recall), similarity_ivf (kmeans-seeded lists), mapper_nlpaug /
         # mapper_nlpcda_zh (seeded-RNG augmentation; golden pytests),
-        # dedup_image_phash (sha-seeded numpy pseudo-image decode),
-        # mapper_image_blur (payload-seeded blur selection).
+        # dedup_image_phash (sha-seeded numpy pseudo-image decode).
     }
 
 

@@ -25,22 +25,28 @@ from data_juicer_spark.registry import OPERATORS
 
 FIXTURE = os.path.join(os.path.dirname(__file__),
                        "fixtures_reference_goldens2.json")
-CASES = []
-for _op, _cases in json.load(open(FIXTURE)).items():
-    for _i, _c in enumerate(_cases):
-        CASES.append(pytest.param(_op, _c, id=f"{_op}#{_i}:{_c['method']}"))
-
 XFAIL = {
     ("alphanumeric_filter", "test_token_case"):
         "HF tokenizer is a model dep — hermetic build uses the regex-BPE "
         "proxy (documented deviation)",
 }
 
+CASES = []
+for _op, _cases in json.load(open(FIXTURE)).items():
+    for _i, _c in enumerate(_cases):
+        # mark-based xfail: the case still RUNS, so an XPASS surfaces
+        # the moment a documented deviation stops deviating
+        _marks = ([pytest.mark.xfail(reason=XFAIL[(_op, _c["method"])],
+                                     strict=False)]
+                  if (_op, _c["method"]) in XFAIL else [])
+        CASES.append(pytest.param(_op, _c, marks=_marks,
+                                  id=f"{_op}#{_i}:{_c['method']}"))
+
 
 def _field_specs(samples):
     """Union key set + int/float unification per field path (Spark
     cannot infer a column that mixes Long and Double rows)."""
-    keys, floaty, dicty = {}, set(), set()
+    keys = {}
     for s in samples:
         for k, v in s.items():
             keys.setdefault(k, []).append(v)
@@ -99,9 +105,6 @@ def _subset(row: dict, tgt):
 
 @pytest.mark.parametrize("opname,case", CASES)
 def test_reference_golden2(spark, opname, case, tmp_path):
-    reason = XFAIL.get((opname, case["method"]))
-    if reason:
-        pytest.xfail(reason)
     kwargs = dict(case["kwargs"])
     for k, v in kwargs.items():
         if v == "__TMP_EXPORT_PATH__":

@@ -160,7 +160,7 @@ def main() -> None:
     # all-samples honesty table must survive); just add this run as a
     # sample row the curator folds in.
     row = (
-        f"| 1x{CORES} vs 4x{CORES}, {EVENTS//1000}k ev (tool-appended) "
+        f"| {N_EXEC}x{CORES} vs {4*N_EXEC}x{CORES}, {EVENTS//1000}k ev (tool-appended) "
         f"| {lo['events_per_sec']} | {hi['events_per_sec']} "
         f"| {'**' if eff >= 0.8 else ''}{eff:.3f}"
         f"{' MET**' if eff >= 0.8 else ' not met'} | see run log |\n"

@@ -1329,9 +1329,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _WORDS = "list_filter(string_split_regex(text, '[ \\n\\t]'), w -> w <> '')"
 
+# words_refinement parity macro: lowercase, strip the engine's
+# SPECIAL_CHARACTERS set from word edges (DuckDB trim's char-set
+# semantics == Spark btrim's), drop empties — mirrors
+# functions/text.py refined_words()
+def _refined_words_sql() -> str:
+    from data_juicer_spark.functions.text import SPECIAL_CHARACTERS
+
+    specials = _sql_quote("".join(sorted(SPECIAL_CHARACTERS)))
+    return (f"list_filter(list_transform({_WORDS}, "
+            f"w -> trim(lower(w), '{specials}')), w -> w <> '')")
+
+
+_RWORDS = None  # filled after _sql_quote is defined below
+
 
 def _sql_quote(s: str) -> str:
     return s.replace("'", "''")
+
+
+_RWORDS = _refined_words_sql()
 
 
 def _sql_str(s: str) -> str:
@@ -1733,10 +1750,10 @@ def oracle_sql() -> dict[str, str]:
         "filter_stopwords": f"""
             SELECT doc_id, round(ratio, 6) AS stopwords_ratio FROM (
               SELECT doc_id,
-                     CASE WHEN len({_WORDS}) = 0 THEN 0.0
-                          ELSE CAST(len(list_filter({_WORDS},
-                                 w -> list_contains({_STOPWORDS}, lower(w)))) AS DOUBLE)
-                               / len({_WORDS}) END AS ratio
+                     CASE WHEN len({_RWORDS}) = 0 THEN 0.0
+                          ELSE CAST(len(list_filter({_RWORDS},
+                                 w -> list_contains({_STOPWORDS}, w))) AS DOUBLE)
+                               / len({_RWORDS}) END AS ratio
               FROM documents
             ) WHERE ratio >= 0.02 AND ratio <= 1.0
         """,
@@ -1940,10 +1957,10 @@ def oracle_sql() -> dict[str, str]:
         "filter_flagged_words": f"""
             SELECT doc_id, round(ratio, 6) AS flagged_words_ratio FROM (
               SELECT doc_id,
-                     CASE WHEN len({_WORDS}) = 0 THEN 0.0
-                          ELSE CAST(len(list_filter({_WORDS},
-                                 w -> list_contains(['spark', 'join'], lower(w)))) AS DOUBLE)
-                               / len({_WORDS}) END AS ratio
+                     CASE WHEN len({_RWORDS}) = 0 THEN 0.0
+                          ELSE CAST(len(list_filter({_RWORDS},
+                                 w -> list_contains(['spark', 'join'], w))) AS DOUBLE)
+                               / len({_RWORDS}) END AS ratio
               FROM documents
             ) WHERE ratio >= 0.0 AND ratio <= 0.08
         """,
@@ -2152,11 +2169,11 @@ def oracle_sql() -> dict[str, str]:
         "filter_stopwords_multilang": f"""
             SELECT doc_id, round(ratio, 6) AS stopwords_ratio FROM (
               SELECT doc_id,
-                     CASE WHEN len({_WORDS}) = 0 THEN 0.0
-                          ELSE CAST(len(list_filter({_WORDS},
+                     CASE WHEN len({_RWORDS}) = 0 THEN 0.0
+                          ELSE CAST(len(list_filter({_RWORDS},
                                  w -> list_contains({_stopwords_sql(['en', 'es', 'fr'])},
-                                                    lower(w)))) AS DOUBLE)
-                               / len({_WORDS}) END AS ratio
+                                                    w))) AS DOUBLE)
+                               / len({_RWORDS}) END AS ratio
               FROM documents
             ) WHERE ratio >= 0.02 AND ratio <= 1.0
         """,

@@ -122,10 +122,50 @@ def token_count_regex(col: Column) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(f"({pat})"), 1))
 
 
-def stopword_like_ratio(col: Column, stopwords: list[str]) -> Column:
-    """share of whitespace words (lowercased) found in `stopwords`."""
-    arr = F.array(*[F.lit(s) for s in stopwords])
+def refined_words(col: Column, strip_special: bool = True,
+                  use_words_aug: bool = False,
+                  words_aug_group_sizes=(2,),
+                  words_aug_join_char: str = "") -> Column:
+    """words_refinement parity (reference common/helper_func.py:141-170):
+    whitespace-split words, lowercased, SPECIAL_CHARACTERS stripped from
+    word edges (empties dropped), plus the optional CJK/Vietnamese
+    n-gram augmentation (words_augmentation, helper_func.py:103-114:
+    for each group size g, append join_char.join(words[i:i+g]) for every
+    window). Pure Catalyst — btrim's trim-set semantics match the
+    reference's per-char strip because the special set is all-BMP."""
     ws = F.transform(words(col), lambda w: F.lower(w))
+    if strip_special:
+        specials = "".join(sorted(SPECIAL_CHARACTERS))
+        ws = F.filter(
+            F.transform(ws, lambda w: F.btrim(w, F.lit(specials))),
+            lambda w: w != "")
+    if use_words_aug:
+        base = ws
+        augs = []
+        for g in words_aug_group_sizes:
+            augs.append(F.when(
+                F.size(base) >= F.lit(int(g)),
+                F.transform(
+                    F.sequence(F.lit(0), F.size(base) - F.lit(int(g))),
+                    lambda i: F.array_join(
+                        F.slice(base, i + 1, F.lit(int(g))),
+                        words_aug_join_char),
+                )
+            ).otherwise(F.array().cast("array<string>")))
+        ws = F.concat(base, *augs)
+    return ws
+
+
+def stopword_like_ratio(col: Column, stopwords: list[str],
+                        strip_special: bool = True,
+                        use_words_aug: bool = False,
+                        words_aug_group_sizes=(2,),
+                        words_aug_join_char: str = "") -> Column:
+    """share of refined words found in `stopwords` (the reference's
+    stopwords/flagged-words ratio, stopwords_filter.py:84-132)."""
+    arr = F.array(*[F.lit(s) for s in stopwords])
+    ws = refined_words(col, strip_special, use_words_aug,
+                       words_aug_group_sizes, words_aug_join_char)
     return F.when(F.size(ws) == 0, F.lit(0.0)).otherwise(
         F.size(F.filter(ws, lambda w: F.array_contains(arr, w))) / F.size(ws)
     )

@@ -250,14 +250,24 @@ class StopwordsFilter(_RangeFilter):
     stat_key = "stopwords_ratio"
 
     def __init__(self, min_ratio: float = 0.3, max_ratio: float = 1.0,
-                 lang="en", stopwords: list | None = None, **kw):
+                 lang="en", stopwords: list | None = None,
+                 use_words_aug: bool = False,
+                 words_aug_group_sizes=(2,),
+                 words_aug_join_char: str = "", **kw):
         super().__init__(min_val=min_ratio, max_val=max_ratio, **kw)
         from data_juicer_spark.assets import STOPWORDS, words_for
 
         self.stopwords = stopwords or words_for(STOPWORDS, lang)
+        self.use_words_aug = use_words_aug
+        self.words_aug_group_sizes = tuple(words_aug_group_sizes)
+        self.words_aug_join_char = words_aug_join_char
 
     def stat_expr(self, df):
-        return T.stopword_like_ratio(F.col(self.text_key), self.stopwords)
+        return T.stopword_like_ratio(
+            F.col(self.text_key), self.stopwords,
+            use_words_aug=self.use_words_aug,
+            words_aug_group_sizes=self.words_aug_group_sizes,
+            words_aug_join_char=self.words_aug_join_char)
 
 
 @OPERATORS.register("flagged_words_filter")
@@ -268,14 +278,24 @@ class FlaggedWordsFilter(_RangeFilter):
     stat_key = "flagged_words_ratio"
 
     def __init__(self, max_ratio: float = 0.045, lang="en",
-                 flagged_words: list | None = None, **kw):
+                 flagged_words: list | None = None,
+                 use_words_aug: bool = False,
+                 words_aug_group_sizes=(2,),
+                 words_aug_join_char: str = "", **kw):
         super().__init__(min_val=0.0, max_val=max_ratio, **kw)
         from data_juicer_spark.assets import FLAGGED_WORDS, words_for
 
         self.flagged = flagged_words or words_for(FLAGGED_WORDS, lang)
+        self.use_words_aug = use_words_aug
+        self.words_aug_group_sizes = tuple(words_aug_group_sizes)
+        self.words_aug_join_char = words_aug_join_char
 
     def stat_expr(self, df):
-        return T.stopword_like_ratio(F.col(self.text_key), self.flagged)
+        return T.stopword_like_ratio(
+            F.col(self.text_key), self.flagged,
+            use_words_aug=self.use_words_aug,
+            words_aug_group_sizes=self.words_aug_group_sizes,
+            words_aug_join_char=self.words_aug_join_char)
 
 
 @OPERATORS.register("language_id_score_filter")
@@ -569,7 +589,9 @@ class TextQualityScoreFilter(_RangeFilter):
         alnum = T.alnum_ratio(c)
         from data_juicer_spark.assets import STOPWORDS
 
-        stop = T.stopword_like_ratio(c, STOPWORDS["en"])
+        # engine-extra score: keep the pre-r4 unstripped formula so the
+        # composite stays stable (reference parity is the stopwords op)
+        stop = T.stopword_like_ratio(c, STOPWORDS["en"], strip_special=False)
         stop_score = F.least(stop * 4.0, F.lit(1.0))
         return F.round(
             len_score * 0.25 + alnum * 0.45 + stop_score * 0.30, 6

@@ -173,3 +173,63 @@ def test_text_pair_similarity_filter(spark):
     op = OPERATORS.get("text_pair_similarity_filter")(min_score=0.5)
     kept = sorted(r["id"] for r in op.apply(df).collect())
     assert kept == [0, 3]
+
+
+def test_stopwords_words_refinement_and_aug_parity(spark):
+    """refined_words must match a sequential port of the reference's
+    words_refinement + words_augmentation (common/helper_func.py:103-170)
+    including strip-of-special-chars and the CJK n-gram augmentation."""
+    from data_juicer_spark.functions.text import (
+        SPECIAL_CHARACTERS, refined_words,
+    )
+
+    texts = [
+        "The quick, brown fox -- jumps over the LAZY dog!!",
+        "欢迎 来到 阿里 巴巴 社区",
+        "xin chào các bạn nhé",
+        "...  ,,, !!!",  # every word strips to empty
+        "",
+        "a b",  # shorter than group size 3
+    ]
+
+    def ref_refine(text, group_sizes=(2, 3), join_char="*"):
+        ws = [w for w in text.replace("\n", " ").replace("\t", " ").split(" ")
+              if w != ""]
+        ws = [w.lower() for w in ws]
+        out = []
+        for w in ws:
+            i, j = 0, len(w)
+            while i < j and w[i] in SPECIAL_CHARACTERS:
+                i += 1
+            while j > i and w[j - 1] in SPECIAL_CHARACTERS:
+                j -= 1
+            if w[i:j]:
+                out.append(w[i:j])
+        aug = []
+        for g in group_sizes:
+            aug.extend(join_char.join(out[i:i + g])
+                       for i in range(len(out) - g + 1))
+        return out + aug
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id long, text string")
+    got = {r["id"]: list(r["rw"]) for r in df.select(
+        "id", refined_words(
+            F.col("text"), use_words_aug=True,
+            words_aug_group_sizes=(2, 3), words_aug_join_char="*"
+        ).alias("rw")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == ref_refine(t), (i, t)
+
+
+def test_stopwords_filter_words_aug_changes_ratio(spark):
+    """use_words_aug grows the denominator with n-gram groups — the
+    reference's CJK/Vietnamese handling (stopwords_filter.py:40-62)."""
+    df = spark.createDataFrame([(0, "the cat the dog")], "id long, text string")
+    base = OPERATORS.get("stopwords_filter")(min_ratio=0.0)
+    aug = OPERATORS.get("stopwords_filter")(min_ratio=0.0,
+                                            use_words_aug=True)
+    r0 = base.apply(df).select("stats.stopwords_ratio").first()[0]
+    r1 = aug.apply(df).select("stats.stopwords_ratio").first()[0]
+    assert r0 == 0.5          # the, the of 4
+    assert r1 == 2.0 / 7.0    # 4 words + 3 bigrams, members unchanged

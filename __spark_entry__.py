@@ -1537,8 +1537,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE length(text) BETWEEN 50 AND 400
         """,
         "filter_words_num": f"""
-            SELECT doc_id, len({_WORDS}) AS num_words
-            FROM documents WHERE len({_WORDS}) BETWEEN 20 AND 60
+            SELECT doc_id, len({_RWORDS}) AS num_words
+            FROM documents WHERE len({_RWORDS}) BETWEEN 20 AND 60
         """,
         "filter_alphanumeric": r"""
             SELECT doc_id, round(alnum / length(text), 6) AS alnum_ratio

@@ -47,7 +47,10 @@ def words(col: Column, new_line: bool = True, tab: bool = True) -> Column:
 
 
 def num_words(col: Column) -> Column:
-    return F.size(words(col))
+    """word count AFTER words_refinement's special-char edge strip
+    (words_num_filter.py:77: pure-special tokens like "--" or "..."
+    do not count as words in the reference)."""
+    return F.size(refined_words(col, strip_special=True))
 
 
 def lines(col: Column) -> Column:

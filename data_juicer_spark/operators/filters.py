@@ -69,11 +69,22 @@ class WordsNumFilter(_RangeFilter):
     stat_key = "num_words"
 
     def __init__(self, min_num: int = 10, max_num: int = sys.maxsize,
-                 tokenization: str = "space", **kw):
+                 tokenization: str | bool = "space", lang: str = "en",
+                 **kw):
         super().__init__(min_val=min_num, max_val=max_num, **kw)
+        # reference signature compatibility: its `tokenization` is a
+        # BOOL (False = whitespace split, True = per-lang sentencepiece,
+        # words_num_filter.py:30-40); map onto this engine's modes so a
+        # reference call-site works unchanged — True lands on the
+        # documented hermetic sentencepiece stand-in
+        if tokenization is False:
+            tokenization = "space"
+        elif tokenization is True:
+            tokenization = "regex_bpe"
         if tokenization not in ("space", "regex_bpe"):
             raise ValueError(f"unsupported tokenization {tokenization!r}")
         self.tokenization = tokenization
+        self.lang = lang  # selects the tokenizer model in the reference
 
     def stat_expr(self, df):
         if self.tokenization == "regex_bpe":
@@ -87,7 +98,18 @@ class AlphanumericFilter(_RangeFilter):
 
     stat_key = "alnum_ratio"
 
-    def __init__(self, min_ratio: float = 0.25, max_ratio: float = float(sys.maxsize), **kw):
+    def __init__(self, min_ratio: float = 0.25,
+                 max_ratio: float = float(sys.maxsize),
+                 tokenization: bool = False, **kw):
+        if tokenization:
+            # loud, not silent: the reference's token mode needs the HF
+            # tokenizer (alphanumeric_filter.py:40-66) — falling back to
+            # char mode silently would change keep/drop decisions
+            raise NotImplementedError(
+                "alphanumeric_filter tokenization=True needs the HF "
+                "tokenizer (model dep, not in the hermetic build); use "
+                "the default char-ratio mode or token_num_filter's "
+                "regex-BPE proxy")
         super().__init__(min_val=min_ratio, max_val=max_ratio, **kw)
 
     def stat_expr(self, df):
@@ -140,7 +162,13 @@ class TokenNumFilter(_RangeFilter):
 
     stat_key = "num_token"
 
-    def __init__(self, min_num: int = 10, max_num: int = sys.maxsize, **kw):
+    def __init__(self, min_num: int = 10, max_num: int = sys.maxsize,
+                 hf_tokenizer: str = "EleutherAI/pythia-6.9b-deduped",
+                 **kw):
+        # advisory in the hermetic build: the regex-BPE proxy does not
+        # load a model, but the reference call-site (hf_tokenizer=...)
+        # must construct unchanged (documented deviation)
+        self.hf_tokenizer = hf_tokenizer
         super().__init__(min_val=min_num, max_val=max_num, **kw)
 
     def stat_expr(self, df):
@@ -197,9 +225,18 @@ class WordRepetitionFilter(_RangeFilter):
 
     stat_key = "word_rep_ratio"
 
-    def __init__(self, rep_len: int = 10, min_ratio: float = 0.0, max_ratio: float = 0.5, **kw):
+    def __init__(self, rep_len: int = 10, min_ratio: float = 0.0,
+                 max_ratio: float = 0.5, lang: str = "en",
+                 tokenization: bool = False, **kw):
         super().__init__(min_val=min_ratio, max_val=max_ratio, **kw)
+        if tokenization:
+            raise NotImplementedError(
+                "word_repetition_filter tokenization=True needs the "
+                "per-language sentencepiece model (model dep, not in "
+                "the hermetic build); the default whitespace mode "
+                "matches the reference's tokenization=False path")
         self.n = rep_len
+        self.lang = lang  # selects the tokenizer model in the reference
 
     def stat_expr(self, df):
         import re as _re
@@ -251,10 +288,15 @@ class StopwordsFilter(_RangeFilter):
 
     def __init__(self, min_ratio: float = 0.3, max_ratio: float = 1.0,
                  lang="en", stopwords: list | None = None,
+                 tokenization: bool = False,
                  use_words_aug: bool = False,
                  words_aug_group_sizes=(2,),
                  words_aug_join_char: str = "", **kw):
         super().__init__(min_val=min_ratio, max_val=max_ratio, **kw)
+        if tokenization:
+            raise NotImplementedError(
+                "stopwords_filter tokenization=True needs sentencepiece "
+                "(model dep); the default matches tokenization=False")
         from data_juicer_spark.assets import STOPWORDS, words_for
 
         self.stopwords = stopwords or words_for(STOPWORDS, lang)
@@ -279,10 +321,16 @@ class FlaggedWordsFilter(_RangeFilter):
 
     def __init__(self, max_ratio: float = 0.045, lang="en",
                  flagged_words: list | None = None,
+                 tokenization: bool = False,
                  use_words_aug: bool = False,
                  words_aug_group_sizes=(2,),
                  words_aug_join_char: str = "", **kw):
         super().__init__(min_val=0.0, max_val=max_ratio, **kw)
+        if tokenization:
+            raise NotImplementedError(
+                "flagged_words_filter tokenization=True needs "
+                "sentencepiece (model dep); default matches "
+                "tokenization=False")
         from data_juicer_spark.assets import FLAGGED_WORDS, words_for
 
         self.flagged = flagged_words or words_for(FLAGGED_WORDS, lang)
@@ -314,7 +362,13 @@ class LanguageIdScoreFilter(Filter):
 
     def __init__(self, lang=None, min_score: float = 0.8, **kw):
         super().__init__(**kw)
-        if isinstance(lang, str):
+        # reference default is lang="" = "keep any language, only score
+        # gates" (language_id_score_filter.py:22-70) — falsy lang (None,
+        # "", []) must mean no-language-restriction, not membership in
+        # {""}
+        if not lang:
+            lang = None
+        elif isinstance(lang, str):
             lang = [lang]
         self.langs = lang
         self.min_score = min_score

@@ -233,3 +233,39 @@ def test_stopwords_filter_words_aug_changes_ratio(spark):
     r1 = aug.apply(df).select("stats.stopwords_ratio").first()[0]
     assert r0 == 0.5          # the, the of 4
     assert r1 == 2.0 / 7.0    # 4 words + 3 bigrams, members unchanged
+
+
+def test_reference_call_site_compatibility(spark):
+    """A reference user's constructor calls must work unchanged
+    (round-4 param-surface audit): bool tokenization on words_num,
+    hf_tokenizer on token_num, falsy lang on language_id, and loud —
+    not silent — failures for the model-dep tokenization modes."""
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog today ok")],
+        "id long, text string")
+
+    # words_num: reference bool tokenization maps onto engine modes
+    space = OPERATORS.get("words_num_filter")(min_num=1, tokenization=False)
+    bpe = OPERATORS.get("words_num_filter")(min_num=1, tokenization=True)
+    assert space.apply(df).count() == 1
+    assert bpe.apply(df).count() == 1
+
+    # token_num: reference hf_tokenizer kwarg constructs (advisory)
+    tk = OPERATORS.get("token_num_filter")(
+        hf_tokenizer="EleutherAI/pythia-6.9b-deduped", min_num=1)
+    assert tk.apply(df).count() == 1
+
+    # language_id: reference default lang="" keeps any language
+    lid = OPERATORS.get("language_id_score_filter")(lang="", min_score=0.0)
+    assert lid.apply(df).count() == 1
+
+    # model-dep tokenization modes fail loudly at construction
+    import pytest as _pytest
+    for name, kwargs in [
+        ("alphanumeric_filter", {"tokenization": True}),
+        ("word_repetition_filter", {"tokenization": True}),
+        ("stopwords_filter", {"tokenization": True}),
+        ("flagged_words_filter", {"tokenization": True}),
+    ]:
+        with _pytest.raises(NotImplementedError):
+            OPERATORS.get(name)(**kwargs)

@@ -1894,16 +1894,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mapper_remove_header": r"""
             SELECT doc_id,
-                   CASE WHEN m IS NOT NULL THEN substr(t, CAST(m AS INT)) ELSE t END AS text
-            FROM (
-              SELECT doc_id, t,
-                     least(nullif(strpos(t, '\section{'), 0),
-                           nullif(strpos(t, '\chapter{'), 0),
-                           nullif(strpos(t, '\part{'), 0)) AS m
-              FROM (SELECT doc_id,
-                           text || ' preamble \section{Main} body text' AS t
-                    FROM documents)
-            )
+                   regexp_replace(
+                     text || ' preamble \section{Main} body text',
+                     '(?s)^(.*?)(\\\bchapter\b\*?(?:\[(.*?)\])?\{(.*?)\}|\\\bpart\b\*?(?:\[(.*?)\])?\{(.*?)\}|\\\bsection\b\*?(?:\[(.*?)\])?\{(.*?)\}|\\\bsubsection\b\*?(?:\[(.*?)\])?\{(.*?)\}|\\\bsubsubsection\b\*?(?:\[(.*?)\])?\{(.*?)\}|\\\bparagraph\b\*?(?:\[(.*?)\])?\{(.*?)\}\\\bsubparagraph\b\*?(?:\[(.*?)\])?\{(.*?)\})',
+                     '\2') AS text
+            FROM documents
         """,
         "mapper_remove_table_text": f"""
             SELECT doc_id,

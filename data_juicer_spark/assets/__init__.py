@@ -1,5 +1,5 @@
 """Hermetic asset lists (stopwords, flagged words) shipped in-repo."""
 
 from data_juicer_spark.assets.wordlists import (  # noqa: F401
-    FLAGGED_WORDS, STOPWORDS, words_for,
+    FLAGGED_WORDS, STOPWORDS, load_words_dir, words_for,
 )

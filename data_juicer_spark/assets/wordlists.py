@@ -376,3 +376,24 @@ def words_for(table: dict, lang) -> list:
                 seen.add(w)
                 out.append(w)
     return out
+
+
+def load_words_dir(words_dir: str, words_type: str, fallback: dict) -> dict:
+    """Reference load_words_asset parity minus the download
+    (utils/asset_utils.py:19-41): merge every `*.json` file in
+    `words_dir` whose NAME contains `words_type` ({lang: [words]}
+    dicts, per-lang lists concatenated across files). Falls back to the
+    in-repo `fallback` table when the directory yields nothing — the
+    reference would download at that point; this engine is hermetic."""
+    import json
+    import os
+
+    out: dict = {}
+    if words_dir and os.path.isdir(words_dir):
+        for filename in sorted(os.listdir(words_dir)):
+            if filename.endswith(".json") and words_type in filename:
+                with open(os.path.join(words_dir, filename)) as fh:
+                    loaded = json.load(fh)
+                for key, vals in loaded.items():
+                    out.setdefault(key, []).extend(vals)
+    return out or fallback

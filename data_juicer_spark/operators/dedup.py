@@ -241,7 +241,13 @@ class DocumentMinhashDeduplicator(Deduplicator):
                  num_permutations: int = 256, jaccard_threshold: float = 0.7,
                  num_bands: Optional[int] = None, num_rows_per_band: Optional[int] = None,
                  lowercase: bool = True, ignore_pattern: Optional[str] = None,
+                 tokenizer_model: Optional[str] = None,
                  id_key: Optional[str] = None, **kw):
+        if tokenizer_model is not None:
+            raise NotImplementedError(
+                "tokenizer_model (sentencepiece) is a model dep; use "
+                "tokenization='space'/'char'/'punctuation' which are "
+                "reference-bit-exact here")
         super().__init__(**kw)
         self.tokenization = tokenization
         self.window_size = window_size

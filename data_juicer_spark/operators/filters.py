@@ -288,6 +288,7 @@ class StopwordsFilter(_RangeFilter):
 
     def __init__(self, min_ratio: float = 0.3, max_ratio: float = 1.0,
                  lang="en", stopwords: list | None = None,
+                 stopwords_dir: str | None = None,
                  tokenization: bool = False,
                  use_words_aug: bool = False,
                  words_aug_group_sizes=(2,),
@@ -297,9 +298,14 @@ class StopwordsFilter(_RangeFilter):
             raise NotImplementedError(
                 "stopwords_filter tokenization=True needs sentencepiece "
                 "(model dep); the default matches tokenization=False")
-        from data_juicer_spark.assets import STOPWORDS, words_for
+        from data_juicer_spark.assets import (
+            STOPWORDS, load_words_dir, words_for,
+        )
 
-        self.stopwords = stopwords or words_for(STOPWORDS, lang)
+        table = load_words_dir(stopwords_dir, "stopwords", STOPWORDS)
+        if lang == "all":
+            lang = None  # reference: "all" = union of every language
+        self.stopwords = stopwords or words_for(table, lang)
         self.use_words_aug = use_words_aug
         self.words_aug_group_sizes = tuple(words_aug_group_sizes)
         self.words_aug_join_char = words_aug_join_char
@@ -319,21 +325,28 @@ class FlaggedWordsFilter(_RangeFilter):
 
     stat_key = "flagged_words_ratio"
 
-    def __init__(self, max_ratio: float = 0.045, lang="en",
-                 flagged_words: list | None = None,
+    def __init__(self, min_ratio: float = 0.0, max_ratio: float = 0.045,
+                 lang="en", flagged_words: list | None = None,
+                 flagged_words_dir: str | None = None,
                  tokenization: bool = False,
                  use_words_aug: bool = False,
                  words_aug_group_sizes=(2,),
                  words_aug_join_char: str = "", **kw):
-        super().__init__(min_val=0.0, max_val=max_ratio, **kw)
+        super().__init__(min_val=min_ratio, max_val=max_ratio, **kw)
         if tokenization:
             raise NotImplementedError(
                 "flagged_words_filter tokenization=True needs "
                 "sentencepiece (model dep); default matches "
                 "tokenization=False")
-        from data_juicer_spark.assets import FLAGGED_WORDS, words_for
+        from data_juicer_spark.assets import (
+            FLAGGED_WORDS, load_words_dir, words_for,
+        )
 
-        self.flagged = flagged_words or words_for(FLAGGED_WORDS, lang)
+        table = load_words_dir(flagged_words_dir, "flagged_words",
+                               FLAGGED_WORDS)
+        if lang == "all":
+            lang = None  # reference: "all" = union of every language
+        self.flagged = flagged_words or words_for(table, lang)
         self.use_words_aug = use_words_aug
         self.words_aug_group_sizes = tuple(words_aug_group_sizes)
         self.words_aug_join_char = words_aug_join_char
@@ -428,8 +441,10 @@ class PerplexityFilter(_RangeFilter):
         " ti ll so la ta el ma io ic om ur ca us pe ho ra et ce be".split()
     )
 
-    def __init__(self, max_ppl: float = 1500, min_ppl: float = 0, **kw):
+    def __init__(self, max_ppl: float = 1500, min_ppl: float = 0,
+                 lang: str = "en", **kw):
         super().__init__(min_val=min_ppl, max_val=max_ppl, **kw)
+        self.lang = lang  # selects the KenLM model in the reference
 
     def stat_expr(self, df):
         # fully batch-vectorized: all rows concatenated into ONE byte
@@ -663,7 +678,23 @@ class TextPairSimilarityFilter(Filter):
 
     def __init__(self, first_key: str = "embedding",
                  second_key: str = "embedding2",
-                 min_score: float = 0.1, max_score: float = 1.0, **kw):
+                 min_score: float = 0.1, max_score: float = 1.0,
+                 text_key_second: str | None = None,
+                 any_or_all: str = "any",
+                 hf_clip: str | None = None,
+                 trust_remote_code: bool = False, **kw):
+        # reference params (text_pair_similarity_filter.py): hf_clip is
+        # the embedding model (serving dep — embeddings arrive
+        # precomputed in columns here); text_key_second names the second
+        # TEXT column, which maps onto second_key's embedding column;
+        # any_or_all is validated for call-site parity (single-pair
+        # semantics are identical under both)
+        if any_or_all not in ("any", "all"):
+            raise ValueError(
+                f"Keep strategy [{any_or_all}] is not supported. "
+                f'Can only be one of ["any", "all"].')
+        if text_key_second is not None:
+            second_key = text_key_second
         super().__init__(**kw)
         self.first_key = first_key
         self.second_key = second_key
@@ -690,7 +721,25 @@ class TextEmbdSimilarityFilter(Filter):
     """
 
     def __init__(self, embedding_key: str = "embedding", centroid=None,
-                 min_score: float = 0.1, max_score: float = 1.0, **kw):
+                 min_score: float = 0.1, max_score: float = 1.0,
+                 api_or_hf_model: str | None = None,
+                 is_hf_model: bool = False,
+                 api_endpoint: str | None = None,
+                 response_path: str | None = None,
+                 model_params: dict | None = None,
+                 valid_dataset=None, ebd_dim: int | None = None,
+                 pooling: str | None = None,
+                 input_template: str | None = None, **kw):
+        # reference params (text_embd_similarity_filter.py) select the
+        # embedding MODEL/API — a serving dep this hermetic engine
+        # replaces with precomputed embedding columns; accepted so a
+        # reference recipe constructs unchanged, and valid_dataset's
+        # centroid role maps onto `centroid`
+        if api_endpoint is not None or (api_or_hf_model and is_hf_model):
+            raise NotImplementedError(
+                "embedding model serving (API/HF) is not available in "
+                "the hermetic build; supply a precomputed embedding "
+                "column and (optionally) an explicit centroid")
         super().__init__(**kw)
         self.embedding_key = embedding_key
         self.centroid = centroid

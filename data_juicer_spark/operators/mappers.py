@@ -262,11 +262,34 @@ class RemoveBibliographyMapper(Mapper):
 
 @OPERATORS.register("remove_header_mapper")
 class RemoveHeaderMapper(Mapper):
-    """drop LaTeX header before first section (remove_header_mapper.py:22-54)."""
+    """drop content before the first LaTeX sectioning command — the
+    reference's EXACT pattern ported verbatim (remove_header_mapper.py:
+    32-40), including its two upstream quirks reproduced faithfully:
+    (a) the missing `|` between the paragraph and subparagraph
+    alternatives (so that branch only matches a \paragraph{..}
+    IMMEDIATELY followed by \subparagraph{..}), and (b) `drop_no_head`
+    being observably a no-op — the reference assigns text = "" to a
+    LOCAL and `continue`s without writing back (:44-48), so headerless
+    samples pass through unchanged regardless of the flag."""
+
+    _PAT = (
+        r"(?s)^(.*?)("
+        r"\\\bchapter\b\*?(?:\[(.*?)\])?\{(.*?)\}|"
+        r"\\\bpart\b\*?(?:\[(.*?)\])?\{(.*?)\}|"
+        r"\\\bsection\b\*?(?:\[(.*?)\])?\{(.*?)\}|"
+        r"\\\bsubsection\b\*?(?:\[(.*?)\])?\{(.*?)\}|"
+        r"\\\bsubsubsection\b\*?(?:\[(.*?)\])?\{(.*?)\}|"
+        r"\\\bparagraph\b\*?(?:\[(.*?)\])?\{(.*?)\}"
+        r"\\\bsubparagraph\b\*?(?:\[(.*?)\])?\{(.*?)\}"
+        r")"
+    )
+
+    def __init__(self, drop_no_head: bool = True, **kw):
+        super().__init__(**kw)
+        self.drop_no_head = drop_no_head  # reference dead-write: no-op
 
     def expr(self, col: Column) -> Column:
-        pat = r"(?s)^.*?(?=\\(?:section|chapter|part)\{)"
-        return F.regexp_replace(col, pat, "")
+        return F.regexp_replace(col, self._PAT, "$2")
 
 
 @OPERATORS.register("clean_copyright_mapper")
@@ -522,6 +545,15 @@ class SentenceSplitMapper(Mapper):
     sentinel: a literal U+0002 in the input would be restored as '.'
     (control chars are stripped upstream by the cleaning mappers)."""
 
+    def __init__(self, lang: str = "en", **kw):
+        super().__init__(**kw)
+        # selects the NLTK punkt model in the reference
+        # (sentence_split_mapper.py:22-34); the hermetic regex splitter
+        # is language-independent and reproduces the punkt behaviors the
+        # reference's own en/fr/pt/es unit fixtures exercise (ported in
+        # tests/test_chunk_replace_goldens.py)
+        self.lang = lang
+
     def expr(self, col: Column) -> Column:
         protected = F.regexp_replace(
             col, r"([A-Z])\.([A-Z])\.", "$1\x02$2\x02")
@@ -549,7 +581,13 @@ class TextChunkMapper(Mapper):
 
     def __init__(self, max_len: Optional[int] = None,
                  split_pattern: Optional[str] = r"\n\n",
-                 overlap_len: int = 0, **kw):
+                 overlap_len: int = 0, tokenizer: Optional[str] = None,
+                 trust_remote_code: bool = False, **kw):
+        if tokenizer is not None:
+            raise NotImplementedError(
+                "text_chunk_mapper tokenizer mode needs the HF tokenizer "
+                "(model dep, not in the hermetic build); max_len applies "
+                "to characters, the reference's tokenizer=None path")
         super().__init__(**kw)
         if max_len is None and split_pattern is None:
             raise ValueError("max_len and split_pattern cannot be both None")

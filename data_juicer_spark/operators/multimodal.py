@@ -110,19 +110,32 @@ class ImageShapeFilter(Filter):
 
     def __init__(self, min_width: int = 1, max_width: int = 1 << 20,
                  min_height: int = 1, max_height: int = 1 << 20,
+                 any_or_all: str = "any",
                  meta_key: str = "image_meta", **kw):
         super().__init__(**kw)
         self.min_w, self.max_w = min_width, max_width
         self.min_h, self.max_h = min_height, max_height
+        if any_or_all not in ("any", "all"):
+            raise ValueError(
+                f"Keep strategy [{any_or_all}] is not supported. "
+                f'Can only be one of ["any", "all"].')
+        self.any = any_or_all == "any"
         self.meta_key = meta_key
 
+    def _ok(self, m):
+        return (m.getField("decode_error").isNull()
+                & m.getField("width").between(self.min_w, self.max_w)
+                & m.getField("height").between(self.min_h, self.max_h))
+
     def apply(self, df: DataFrame) -> DataFrame:
-        m = self.meta_key
-        return df.filter(
-            F.col(f"{m}.decode_error").isNull()
-            & F.col(f"{m}.width").between(self.min_w, self.max_w)
-            & F.col(f"{m}.height").between(self.min_h, self.max_h)
-        )
+        dt = df.schema[self.meta_key].dataType
+        col = F.col(self.meta_key)
+        if isinstance(dt, T.ArrayType):
+            # multi-image samples: any/all fold like the reference
+            hit = (F.exists(col, self._ok) if self.any
+                   else F.forall(col, self._ok))
+            return df.filter(col.isNull() | (F.size(col) == 0) | hit)
+        return df.filter(self._ok(col))
 
 
 @OPERATORS.register("image_phash_deduplicator")
@@ -183,17 +196,37 @@ class AudioDurationFilter(Filter):
     (PCM assumption in fake mode; real impl reads the container header).
     Mirrors filter/audio_duration_filter.py."""
 
-    def __init__(self, min_seconds: float = 0.0, max_seconds: float = 1e9,
-                 audio_key: str = "audio", sample_rate: int = 16000,
-                 bytes_per_sample: int = 2, **kw):
+    def __init__(self, min_duration: float = 0.0, max_duration: float = 1e9,
+                 any_or_all: str = "any", audio_key: str = "audio",
+                 sample_rate: int = 16000, bytes_per_sample: int = 2,
+                 min_seconds: Optional[float] = None,
+                 max_seconds: Optional[float] = None, **kw):
         super().__init__(**kw)
-        self.lo, self.hi = min_seconds, max_seconds
+        # reference names are min_duration/max_duration
+        # (audio_duration_filter.py:29-38); the engine's original
+        # min_seconds/max_seconds stay as aliases
+        self.lo = min_seconds if min_seconds is not None else min_duration
+        self.hi = max_seconds if max_seconds is not None else max_duration
+        if any_or_all not in ("any", "all"):
+            raise ValueError(
+                f"Keep strategy [{any_or_all}] is not supported. "
+                f'Can only be one of ["any", "all"].')
+        self.any = any_or_all == "any"
         self.audio_key = audio_key
         self.rate = sample_rate * bytes_per_sample
 
     def apply(self, df: DataFrame) -> DataFrame:
-        dur = F.length(F.col(self.audio_key)) / F.lit(self.rate)
-        return df.filter(dur.between(self.lo, self.hi))
+        dt = df.schema[self.audio_key].dataType
+        col = F.col(self.audio_key)
+        if isinstance(dt, T.ArrayType):
+            durs = F.transform(col, lambda x: F.length(x) / F.lit(self.rate))
+            ok = (lambda d: d.between(self.lo, self.hi))
+            hit = F.exists(durs, ok) if self.any else F.forall(durs, ok)
+            # reference: a sample with no audio records [] and is kept
+            empty = col.isNull() | (F.size(durs) == 0)
+            return df.filter(empty | hit)
+        dur = F.length(col) / F.lit(self.rate)
+        return df.filter(col.isNull() | dur.between(self.lo, self.hi))
 
 
 @OPERATORS.register("video_frame_sample_mapper")
@@ -339,16 +372,30 @@ class ImageAspectRatioFilter(Filter):
     upstream, filter in Catalyst."""
 
     def __init__(self, min_ratio: float = 0.333, max_ratio: float = 3.0,
+                 any_or_all: str = "any",
                  meta_key: str = "image_meta", **kw):
         super().__init__(**kw)
         self.lo, self.hi = min_ratio, max_ratio
+        if any_or_all not in ("any", "all"):
+            raise ValueError(
+                f"Keep strategy [{any_or_all}] is not supported. "
+                f'Can only be one of ["any", "all"].')
+        self.any = any_or_all == "any"
         self.meta_key = meta_key
 
+    def _ok(self, m):
+        ratio = m.getField("width") / m.getField("height")
+        return (m.getField("decode_error").isNull()
+                & self.keep_between(ratio, self.lo, self.hi))
+
     def apply(self, df: DataFrame) -> DataFrame:
-        m = self.meta_key
-        ratio = F.col(f"{m}.width") / F.col(f"{m}.height")
-        return df.filter(F.col(f"{m}.decode_error").isNull()
-                         & self.keep_between(ratio, self.lo, self.hi))
+        dt = df.schema[self.meta_key].dataType
+        col = F.col(self.meta_key)
+        if isinstance(dt, T.ArrayType):
+            hit = (F.exists(col, self._ok) if self.any
+                   else F.forall(col, self._ok))
+            return df.filter(col.isNull() | (F.size(col) == 0) | hit)
+        return df.filter(self._ok(col))
 
 @OPERATORS.register("video_deduplicator")
 class VideoDeduplicator(Deduplicator):
@@ -421,8 +468,14 @@ class AudioAddGaussianNoiseMapper(Mapper):
 
     def __init__(self, min_amplitude: float = 0.001,
                  max_amplitude: float = 0.015, p: float = 0.5,
-                 audio_key: str = "audio", **kw):
+                 audio_key: str = "audio", save_dir: str | None = None,
+                 **kw):
         super().__init__(**kw)
+        if save_dir is not None:
+            raise NotImplementedError(
+                "save_dir writes modified media FILES in the reference; "
+                "this engine keeps payloads in-table (binary column) — "
+                "export via a sink instead")
         if min_amplitude >= max_amplitude:
             raise ValueError("min_amplitude must be < max_amplitude")
         self.min_amp, self.max_amp = min_amplitude, max_amplitude
@@ -484,8 +537,14 @@ class ImageBlurMapper(Mapper):
 
     def __init__(self, p: float = 0.2, blur_type: str = "gaussian",
                  radius: float = 2, image_key: str = "image",
-                 fake_decode: bool = True, **kw):
+                 fake_decode: bool = True, save_dir: str | None = None,
+                 **kw):
         super().__init__(**kw)
+        if save_dir is not None:
+            raise NotImplementedError(
+                "save_dir writes modified media FILES in the reference; "
+                "this engine keeps payloads in-table (binary column) — "
+                "export via a sink instead")
         if blur_type not in ("mean", "box", "gaussian"):
             raise ValueError(
                 f"Blur_type [{blur_type}] is not supported. "

@@ -269,3 +269,90 @@ def test_reference_call_site_compatibility(spark):
     ]:
         with _pytest.raises(NotImplementedError):
             OPERATORS.get(name)(**kwargs)
+
+
+def test_words_dir_loading_and_all_lang(tmp_path, spark):
+    """stopwords_dir/flagged_words_dir load merged {lang: [words]} json
+    files named like the asset type (load_words_asset parity,
+    utils/asset_utils.py:19-41); lang='all' unions every language."""
+    import json
+
+    d = tmp_path / "assets"
+    d.mkdir()
+    (d / "my_stopwords.json").write_text(json.dumps({"en": ["zzfoo"]}))
+    (d / "more_stopwords.json").write_text(json.dumps({"en": ["zzbar"],
+                                                       "xx": ["zzbaz"]}))
+    (d / "unrelated.json").write_text(json.dumps({"en": ["NOPE"]}))
+    op = OPERATORS.get("stopwords_filter")(min_ratio=0.0,
+                                           stopwords_dir=str(d), lang="all")
+    assert set(op.stopwords) == {"zzfoo", "zzbar", "zzbaz"}
+    op_en = OPERATORS.get("stopwords_filter")(min_ratio=0.0,
+                                              stopwords_dir=str(d),
+                                              lang="en")
+    assert set(op_en.stopwords) == {"zzfoo", "zzbar"}
+    # empty dir falls back to the in-repo lists
+    op_fb = OPERATORS.get("stopwords_filter")(
+        min_ratio=0.0, stopwords_dir=str(tmp_path / "nope"))
+    assert "the" in op_fb.stopwords
+
+
+def test_audio_duration_reference_names_and_any_all(spark):
+    """reference param names (min_duration/max_duration) and the
+    any/all fold over array payloads (audio_duration_filter.py:28-75);
+    no-audio samples are kept like the reference's empty-stats path."""
+    rows = [
+        (0, [bytearray(b"x" * 32000)]),                       # 1 s
+        (1, [bytearray(b"x" * 32000), bytearray(b"x" * 320000)]),  # 1s,10s
+        (2, []),                                              # no audio
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, audio array<binary>")
+    any_op = OPERATORS.get("audio_duration_filter")(
+        min_duration=0.5, max_duration=2.0)
+    all_op = OPERATORS.get("audio_duration_filter")(
+        min_duration=0.5, max_duration=2.0, any_or_all="all")
+    assert sorted(r["id"] for r in any_op.apply(df).collect()) == [0, 1, 2, 3]
+    assert sorted(r["id"] for r in all_op.apply(df).collect()) == [0, 2, 3]
+    # engine aliases still work
+    alias = OPERATORS.get("audio_duration_filter")(min_seconds=5.0,
+                                                   max_seconds=20.0)
+    assert sorted(r["id"] for r in alias.apply(df).collect()) == [1, 2, 3]
+
+
+def test_image_shape_any_all_over_multi_image_samples(spark):
+    meta = "array<struct<width:int,height:int,n_channels:int," \
+           "format:string,decode_error:string>>"
+    rows = [
+        (0, [(32, 32, 3, "fake", None)]),
+        (1, [(32, 32, 3, "fake", None), (500, 32, 3, "fake", None)]),
+        (2, []),
+    ]
+    df = spark.createDataFrame(rows, f"id long, image_meta {meta}")
+    any_op = OPERATORS.get("image_shape_filter")(max_width=64)
+    all_op = OPERATORS.get("image_shape_filter")(max_width=64,
+                                                 any_or_all="all")
+    assert sorted(r["id"] for r in any_op.apply(df).collect()) == [0, 1, 2]
+    assert sorted(r["id"] for r in all_op.apply(df).collect()) == [0, 2]
+
+
+def test_model_dep_params_fail_loudly_not_silently(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        OPERATORS.get("text_chunk_mapper")(max_len=10, tokenizer="gpt2")
+    with _pytest.raises(NotImplementedError):
+        OPERATORS.get("document_minhash_deduplicator")(
+            tokenizer_model="sp.model")
+    with _pytest.raises(NotImplementedError):
+        OPERATORS.get("image_blur_mapper")(save_dir="/tmp/x")
+    with _pytest.raises(NotImplementedError):
+        OPERATORS.get("audio_add_gaussian_noise_mapper")(save_dir="/tmp/x")
+    with _pytest.raises(NotImplementedError):
+        OPERATORS.get("text_embd_similarity_filter")(
+            api_endpoint="http://x/v1/embeddings")
+    # advisory params construct fine
+    OPERATORS.get("perplexity_filter")(lang="fr")
+    OPERATORS.get("sentence_split_mapper")(lang="fr")
+    OPERATORS.get("flagged_words_filter")(min_ratio=0.01, max_ratio=0.5)
+    OPERATORS.get("text_pair_similarity_filter")(
+        text_key_second="embedding2", any_or_all="any")

@@ -262,7 +262,7 @@ class RemoveBibliographyMapper(Mapper):
 
 @OPERATORS.register("remove_header_mapper")
 class RemoveHeaderMapper(Mapper):
-    """drop content before the first LaTeX sectioning command — the
+    r"""drop content before the first LaTeX sectioning command — the
     reference's EXACT pattern ported verbatim (remove_header_mapper.py:
     32-40), including its two upstream quirks reproduced faithfully:
     (a) the missing `|` between the paragraph and subparagraph

@@ -25,9 +25,19 @@ from data_juicer_spark.registry import load_ops
 
 
 class Pipeline:
-    def __init__(self, process: List[dict], observe: bool = False):
+    def __init__(self, process: List[dict], observe: bool = False,
+                 text_key: Optional[str] = None):
         """process: list of {op_name: kwargs} dicts (the reference's IR,
-        config.py:867+). observe=True attaches per-op row observers."""
+        config.py:867+). observe=True attaches per-op row observers.
+        text_key: recipe-global text column (the reference's top-level
+        `text_keys`, config.py) applied to every op that doesn't set
+        its own."""
+        if text_key:
+            process = [
+                {name: dict({"text_key": text_key}, **(kw or {}))}
+                for entry in process
+                for name, kw in entry.items()
+            ]
         self.ops = load_ops(process)
         self.observe = observe
         self.observations: dict[str, Observation] = {}
@@ -85,8 +95,9 @@ class Pipeline:
 
 
 def from_yaml(path_or_str: str, observe: bool = False) -> Pipeline:
-    """Load a recipe from YAML: top-level `process:` list, same layout as
-    the reference's config files (configs/*.yaml)."""
+    """Load a recipe from YAML: top-level `process:` list plus the
+    reference's global `text_keys` (string or single-element list),
+    same layout as the reference's config files (configs/*.yaml)."""
     import yaml
 
     try:
@@ -94,4 +105,11 @@ def from_yaml(path_or_str: str, observe: bool = False) -> Pipeline:
             cfg = yaml.safe_load(f)
     except (OSError, FileNotFoundError):
         cfg = yaml.safe_load(path_or_str)
-    return Pipeline(cfg["process"], observe=observe)
+    text_keys = cfg.get("text_keys")
+    if isinstance(text_keys, list):
+        if len(text_keys) != 1:
+            raise ValueError(
+                "multi-column text_keys recipes are not supported — "
+                "give each op an explicit text_key instead")
+        text_keys = text_keys[0]
+    return Pipeline(cfg["process"], observe=observe, text_key=text_keys)

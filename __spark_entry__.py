@@ -1341,9 +1341,6 @@ def _refined_words_sql() -> str:
             f"w -> trim(lower(w), '{specials}')), w -> w <> '')")
 
 
-_RWORDS = None  # filled after _sql_quote is defined below
-
-
 def _sql_quote(s: str) -> str:
     return s.replace("'", "''")
 
@@ -2200,7 +2197,7 @@ def oracle_sql() -> dict[str, str]:
         "analyzer_correlation": f"""
             WITH s AS (
               SELECT CAST(length(text) AS DOUBLE) AS text_len,
-                     CAST(len({_WORDS}) AS DOUBLE) AS num_words,
+                     CAST(len({_RWORDS}) AS DOUBLE) AS num_words,
                      CASE WHEN length(text) = 0 THEN 0.0
                           ELSE CAST(length(regexp_replace(text,
                                  '[^a-zA-Z0-9]', '', 'g')) AS DOUBLE)

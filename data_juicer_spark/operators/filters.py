@@ -74,13 +74,19 @@ class WordsNumFilter(_RangeFilter):
         super().__init__(min_val=min_num, max_val=max_num, **kw)
         # reference signature compatibility: its `tokenization` is a
         # BOOL (False = whitespace split, True = per-lang sentencepiece,
-        # words_num_filter.py:30-40); map onto this engine's modes so a
-        # reference call-site works unchanged — True lands on the
-        # documented hermetic sentencepiece stand-in
+        # words_num_filter.py:30-40). False maps onto 'space'; True is
+        # LOUD like every other tokenization mode — on CJK text the
+        # sentencepiece count differs wildly from any proxy, so a silent
+        # stand-in would change keep/drop decisions. The regex-BPE proxy
+        # stays available as the EXPLICIT engine mode 'regex_bpe'.
         if tokenization is False:
             tokenization = "space"
         elif tokenization is True:
-            tokenization = "regex_bpe"
+            raise NotImplementedError(
+                "words_num_filter tokenization=True needs the per-lang "
+                "sentencepiece model (model dep); opt into the "
+                "documented proxy explicitly with tokenization="
+                "'regex_bpe' if approximate token counts are acceptable")
         if tokenization not in ("space", "regex_bpe"):
             raise ValueError(f"unsupported tokenization {tokenization!r}")
         self.tokenization = tokenization
@@ -325,7 +331,8 @@ class FlaggedWordsFilter(_RangeFilter):
 
     stat_key = "flagged_words_ratio"
 
-    def __init__(self, min_ratio: float = 0.0, max_ratio: float = 0.045,
+    def __init__(self, *, min_ratio: float = 0.0,
+                 max_ratio: float = 0.045,
                  lang="en", flagged_words: list | None = None,
                  flagged_words_dir: str | None = None,
                  tokenization: bool = False,
@@ -732,14 +739,18 @@ class TextEmbdSimilarityFilter(Filter):
                  input_template: str | None = None, **kw):
         # reference params (text_embd_similarity_filter.py) select the
         # embedding MODEL/API — a serving dep this hermetic engine
-        # replaces with precomputed embedding columns; accepted so a
-        # reference recipe constructs unchanged, and valid_dataset's
-        # centroid role maps onto `centroid`
-        if api_endpoint is not None or (api_or_hf_model and is_hf_model):
+        # replaces with precomputed embedding columns. ANY of them set
+        # means the caller expects model serving, so fail loudly (the
+        # reference's API mode is the default is_hf_model=False, and
+        # valid_dataset's centroid is computed BY the model — it cannot
+        # be mapped silently onto the input-mean fallback)
+        if api_or_hf_model is not None or api_endpoint is not None \
+                or valid_dataset is not None:
             raise NotImplementedError(
-                "embedding model serving (API/HF) is not available in "
-                "the hermetic build; supply a precomputed embedding "
-                "column and (optionally) an explicit centroid")
+                "embedding model serving (API/HF) and valid_dataset "
+                "centroids are not available in the hermetic build; "
+                "supply a precomputed embedding column and (optionally) "
+                "an explicit centroid")
         super().__init__(**kw)
         self.embedding_key = embedding_key
         self.centroid = centroid

@@ -135,7 +135,9 @@ class ImageShapeFilter(Filter):
             hit = (F.exists(col, self._ok) if self.any
                    else F.forall(col, self._ok))
             return df.filter(col.isNull() | (F.size(col) == 0) | hit)
-        return df.filter(self._ok(col))
+        # no-media samples are kept in BOTH schema shapes (reference
+        # keeps samples whose media list is empty)
+        return df.filter(col.isNull() | self._ok(col))
 
 
 @OPERATORS.register("image_phash_deduplicator")
@@ -395,7 +397,8 @@ class ImageAspectRatioFilter(Filter):
             hit = (F.exists(col, self._ok) if self.any
                    else F.forall(col, self._ok))
             return df.filter(col.isNull() | (F.size(col) == 0) | hit)
-        return df.filter(self._ok(col))
+        # no-media kept in both schema shapes (see ImageShapeFilter)
+        return df.filter(col.isNull() | self._ok(col))
 
 @OPERATORS.register("video_deduplicator")
 class VideoDeduplicator(Deduplicator):

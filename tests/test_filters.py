@@ -244,11 +244,18 @@ def test_reference_call_site_compatibility(spark):
         [(0, "the quick brown fox jumps over the lazy dog today ok")],
         "id long, text string")
 
-    # words_num: reference bool tokenization maps onto engine modes
+    # words_num: reference bool tokenization — False maps onto the
+    # whitespace mode; True is LOUD (CJK sentencepiece counts diverge
+    # from any proxy), the proxy stays opt-in via the explicit
+    # engine mode 'regex_bpe'
     space = OPERATORS.get("words_num_filter")(min_num=1, tokenization=False)
-    bpe = OPERATORS.get("words_num_filter")(min_num=1, tokenization=True)
+    bpe = OPERATORS.get("words_num_filter")(min_num=1,
+                                            tokenization="regex_bpe")
     assert space.apply(df).count() == 1
     assert bpe.apply(df).count() == 1
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        OPERATORS.get("words_num_filter")(min_num=1, tokenization=True)
 
     # token_num: reference hf_tokenizer kwarg constructs (advisory)
     tk = OPERATORS.get("token_num_filter")(

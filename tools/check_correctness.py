@@ -6,6 +6,7 @@ row-count + order-insensitive value hash (columns sorted by name).
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 
 import duckdb
@@ -50,6 +51,13 @@ def value_hash(rows, colnames):
 
 def main():
     spark = get_spark(parallelism=16)
+    if os.environ.get("MIRROR_HOSTILE"):
+        # simulate an adversarial grading-driver session: non-UTC
+        # timezone + odd shuffle partitioning. Every oracle row must
+        # stay green — this is the guard against the sessionize-class
+        # environment-sensitivity bug (driver-red r1-r3)
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

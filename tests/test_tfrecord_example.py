@@ -124,3 +124,44 @@ def test_numpy_float32_encodes_as_float_list():
     # and int dtypes still land in Int64List
     rec = encode_example({"i": [np.int64(7), np.int32(-3)]})
     assert decode_example(rec) == {"i": [7, -3]}
+
+
+def test_example_roundtrip_property():
+    """Property: any {name: homogeneous list of bytes/str/int/float}
+    survives encode→decode (floats through float32 precision)."""
+    hypothesis = pytest.importorskip("hypothesis")
+    from hypothesis import given, settings, strategies as st
+    import struct as _struct
+
+    feature_vals = st.one_of(
+        st.lists(st.binary(max_size=40), max_size=6),
+        st.lists(st.text(max_size=20), max_size=6),
+        st.lists(st.integers(min_value=-(1 << 63),
+                             max_value=(1 << 63) - 1), max_size=6),
+        st.lists(st.floats(allow_nan=False, allow_infinity=False,
+                           width=32), max_size=6),
+    )
+    features = st.dictionaries(
+        st.text(min_size=1, max_size=12), feature_vals, max_size=5)
+
+    @settings(max_examples=300, deadline=None)
+    @given(features)
+    def check(feats):
+        got = decode_example(encode_example(feats))
+        assert set(got) == set(feats)
+        for k, vals in feats.items():
+            want = []
+            is_float = any(isinstance(v, float) for v in vals)
+            for v in vals:
+                if is_float:
+                    want.append(_struct.unpack(
+                        "<f", _struct.pack("<f", float(v)))[0])
+                elif isinstance(v, str):
+                    want.append(v.encode("utf-8"))
+                elif isinstance(v, (bytes, bytearray)):
+                    want.append(bytes(v))
+                else:
+                    want.append(v)
+            assert got[k] == want, (k, vals, got[k])
+
+    check()

@@ -363,3 +363,50 @@ def test_model_dep_params_fail_loudly_not_silently(spark):
     OPERATORS.get("flagged_words_filter")(min_ratio=0.01, max_ratio=0.5)
     OPERATORS.get("text_pair_similarity_filter")(
         text_key_second="embedding2", any_or_all="any")
+
+
+def test_refined_words_randomized_parity(spark):
+    """Randomized fence (fixed seed, one batched job): refined_words
+    and num_words must match a sequential python port of the
+    reference's words_refinement on adversarial texts — special-char
+    runs, CJK, astral emoji (never stripped: not in the all-BMP set),
+    mixed whitespace, empty and pure-special words."""
+    import random
+
+    from data_juicer_spark.functions.text import (
+        SPECIAL_CHARACTERS, num_words, refined_words,
+    )
+
+    rng = random.Random(1234)
+    alphabet = (
+        list("abcXYZ09") + list(".,;!?-–…«»") + list("中文字テスト")
+        + ["😀", "🚀"] + list(" \t\n") + [" ", "​"]
+    )
+    texts = ["".join(rng.choice(alphabet)
+                     for _ in range(rng.randint(0, 60)))
+             for _ in range(200)] + ["", "...", " -- ", "a.b.c"]
+
+    def py_refined(text):
+        ws = [w for w in text.replace("\n", " ").replace("\t", " ")
+              .split(" ") if w != ""]
+        ws = [w.lower() for w in ws]
+        out = []
+        for w in ws:
+            i, j = 0, len(w)
+            while i < j and w[i] in SPECIAL_CHARACTERS:
+                i += 1
+            while j > i and w[j - 1] in SPECIAL_CHARACTERS:
+                j -= 1
+            if w[i:j]:
+                out.append(w[i:j])
+        return out
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id long, text string")
+    rows = df.select(
+        "id", refined_words(F.col("text")).alias("rw"),
+        num_words(F.col("text")).alias("nw")).collect()
+    for r in rows:
+        want = py_refined(texts[r["id"]])
+        assert list(r["rw"]) == want, (texts[r["id"]], list(r["rw"]), want)
+        assert r["nw"] == len(want), (texts[r["id"]], r["nw"], len(want))

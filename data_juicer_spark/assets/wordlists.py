@@ -383,17 +383,35 @@ def load_words_dir(words_dir: str, words_type: str, fallback: dict) -> dict:
     (utils/asset_utils.py:19-41): merge every `*.json` file in
     `words_dir` whose NAME contains `words_type` ({lang: [words]}
     dicts, per-lang lists concatenated across files). Falls back to the
-    in-repo `fallback` table when the directory yields nothing — the
-    reference would download at that point; this engine is hermetic."""
+    in-repo `fallback` table only when NO words_dir was supplied — the
+    reference would download at that point; this engine is hermetic.
+    An explicitly supplied words_dir that yields no matching `*.json`
+    is a hard error (the reference treats empty-dir as download-or-
+    raise, utils/asset_utils.py:19-41): silently switching word tables
+    on a typo'd path would silently change keep/drop decisions."""
     import json
     import os
 
     out: dict = {}
-    if words_dir and os.path.isdir(words_dir):
+    if words_dir:
+        if not os.path.isdir(words_dir):
+            raise FileNotFoundError(
+                f"words_dir={words_dir!r} does not exist or is not a "
+                f"directory; refusing to silently fall back to the "
+                f"built-in {words_type} table"
+            )
         for filename in sorted(os.listdir(words_dir)):
             if filename.endswith(".json") and words_type in filename:
                 with open(os.path.join(words_dir, filename)) as fh:
                     loaded = json.load(fh)
                 for key, vals in loaded.items():
                     out.setdefault(key, []).extend(vals)
-    return out or fallback
+        if not out:
+            raise FileNotFoundError(
+                f"words_dir={words_dir!r} contains no '*.json' file whose "
+                f"name contains {words_type!r}; refusing to silently fall "
+                f"back to the built-in table (check the filename — the "
+                f"reference requires e.g. '{words_type}.json')"
+            )
+        return out
+    return fallback

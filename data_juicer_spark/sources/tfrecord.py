@@ -153,12 +153,24 @@ def _to_int64(u: int) -> int:
 
 def _decode_feature(buf: bytes):
     """Feature → python list (bytes / float / int), handling both
-    packed (length-delimited) and unpacked repeated encodings."""
+    packed (length-delimited) and unpacked repeated encodings.
+
+    Protobuf merge semantics over repeated occurrences of the kind
+    field: a SAME-kind re-occurrence merges (list values concatenate —
+    message-typed fields merge rather than replace), while a
+    DIFFERENT-kind occurrence switches the oneof and clears what came
+    before (last-kind-wins).  An Example whose BytesList is split
+    across two field-1 occurrences therefore yields ALL its values."""
+    kind, out = None, []
     for fnum, wt, val in _iter_fields(buf):
+        if fnum not in (1, 2, 3):
+            continue
+        if fnum != kind:  # oneof switch: later kind clears earlier one
+            kind, out = fnum, []
         if fnum == 1:  # BytesList
-            return [bytes(v) for f2, _, v in _iter_fields(val) if f2 == 1]
-        if fnum == 2:  # FloatList
-            out = []
+            out.extend(bytes(v) for f2, _, v in _iter_fields(val)
+                       if f2 == 1)
+        elif fnum == 2:  # FloatList
             for f2, w2, v in _iter_fields(val):
                 if f2 != 1:
                     continue
@@ -166,9 +178,7 @@ def _decode_feature(buf: bytes):
                     out.extend(struct.unpack(f"<{len(v) // 4}f", v))
                 else:  # unpacked fixed32
                     out.append(struct.unpack("<f", v)[0])
-            return out
-        if fnum == 3:  # Int64List
-            out = []
+        else:  # Int64List
             for f2, w2, v in _iter_fields(val):
                 if f2 != 1:
                     continue
@@ -179,8 +189,7 @@ def _decode_feature(buf: bytes):
                         out.append(_to_int64(u))
                 else:  # unpacked varint
                     out.append(_to_int64(v))
-            return out
-    return []  # kind-less Feature
+    return out  # [] for a kind-less Feature
 
 
 def decode_example(record: bytes) -> dict:
@@ -197,8 +206,13 @@ def decode_example(record: bytes) -> dict:
                 if f3 == 1:
                     key = v3.decode("utf-8")
                 elif f3 == 2:
-                    fv = v3
+                    # message-typed field merge = wire-bytes concat
+                    # (repeated occurrences of the Feature submessage
+                    # merge, per protobuf semantics); _decode_feature
+                    # handles the concatenated stream.
+                    fv += v3
             if key is not None:
+                # duplicate map KEYS follow map semantics: last wins
                 feats[key] = _decode_feature(fv)
     return feats
 

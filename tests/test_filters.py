@@ -297,9 +297,21 @@ def test_words_dir_loading_and_all_lang(tmp_path, spark):
                                               stopwords_dir=str(d),
                                               lang="en")
     assert set(op_en.stopwords) == {"zzfoo", "zzbar"}
-    # empty dir falls back to the in-repo lists
-    op_fb = OPERATORS.get("stopwords_filter")(
-        min_ratio=0.0, stopwords_dir=str(tmp_path / "nope"))
+    # an explicitly supplied dir that yields nothing is a HARD error —
+    # silently switching to the built-in table would silently change
+    # keep/drop decisions (reference treats empty as download-or-raise)
+    import pytest
+
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        OPERATORS.get("stopwords_filter")(
+            min_ratio=0.0, stopwords_dir=str(tmp_path / "nope"))
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError, match="no '\\*\\.json'"):
+        OPERATORS.get("stopwords_filter")(
+            min_ratio=0.0, stopwords_dir=str(empty))
+    # no dir supplied → built-in table
+    op_fb = OPERATORS.get("stopwords_filter")(min_ratio=0.0)
     assert "the" in op_fb.stopwords
 
 

@@ -165,3 +165,61 @@ def test_example_roundtrip_property():
             assert got[k] == want, (k, vals, got[k])
 
     check()
+
+
+def test_split_bytes_list_occurrences_merge():
+    """Protobuf merge semantics: a BytesList split across two field-1
+    occurrences of the SAME Feature concatenates its values (message
+    fields merge); previously only the first occurrence was decoded."""
+    bl1 = bytes([0x0A, 0x02]) + b"hi"
+    bl2 = bytes([0x0A, 0x03]) + b"bye"
+    feature = (bytes([0x0A, len(bl1)]) + bl1
+               + bytes([0x0A, len(bl2)]) + bl2)
+    golden = _example(_entry(b"text", feature))
+    assert decode_example(golden) == {"text": [b"hi", b"bye"]}
+
+
+def test_split_int64_list_occurrences_merge():
+    packed = bytes([0x01, 0xAC, 0x02])  # [1, 300]
+    il1 = bytes([0x0A, len(packed)]) + packed
+    il2 = bytes([0x0A, 0x01, 0x07])  # [7]
+    feature = (bytes([0x1A, len(il1)]) + il1
+               + bytes([0x1A, len(il2)]) + il2)
+    golden = _example(_entry(b"ids", feature))
+    assert decode_example(golden) == {"ids": [1, 300, 7]}
+
+
+def test_oneof_kind_switch_clears_earlier_kind():
+    """Last-kind-wins: a Feature carrying BytesList THEN Int64List
+    decodes as the int list only (oneof switch clears prior state)."""
+    bl = bytes([0x0A, 0x02]) + b"hi"
+    il = bytes([0x0A, 0x01, 0x2A])  # [42]
+    feature = (bytes([0x0A, len(bl)]) + bl
+               + bytes([0x1A, len(il)]) + il)
+    golden = _example(_entry(b"x", feature))
+    assert decode_example(golden) == {"x": [42]}
+
+
+def test_split_feature_submessage_occurrences_merge():
+    """Two field-2 (Feature) occurrences inside one map entry merge by
+    wire-byte concatenation before decoding."""
+    bl1 = bytes([0x0A, 0x02]) + b"hi"
+    bl2 = bytes([0x0A, 0x03]) + b"bye"
+    f1 = bytes([0x0A, len(bl1)]) + bl1
+    f2 = bytes([0x0A, len(bl2)]) + bl2
+    key = b"text"
+    inner = (bytes([0x0A, len(key)]) + key
+             + bytes([0x12, len(f1)]) + f1
+             + bytes([0x12, len(f2)]) + f2)
+    entry = bytes([0x0A, len(inner)]) + inner
+    golden = _example(entry)
+    assert decode_example(golden) == {"text": [b"hi", b"bye"]}
+
+
+def test_duplicate_map_keys_last_wins():
+    bl1 = bytes([0x0A, 0x02]) + b"v1"
+    bl2 = bytes([0x0A, 0x02]) + b"v2"
+    feat1 = bytes([0x0A, len(bl1)]) + bl1
+    feat2 = bytes([0x0A, len(bl2)]) + bl2
+    golden = _example(_entry(b"k", feat1) + _entry(b"k", feat2))
+    assert decode_example(golden) == {"k": [b"v2"]}

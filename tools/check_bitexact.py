@@ -55,11 +55,24 @@ def main():
     oracles = entrymod.oracle_sql()
     names = [n for n in qs if n in oracles and (not ONLY or n in ONLY)]
 
+    # Arrow fetch (not fetchall): preserves DuckDB physical output types
+    # (HUGEINT→decimal128 etc.) so a type divergence fails here instead
+    # of being erased into Python ints — see check_correctness.py.
     duck = {}
+    type_fail = 0
+    allowed = {"int32", "int64", "double", "string", "large_string",
+               "bool"}
     for n in names:
-        res = con.execute(oracles[n])
-        cols = [d[0] for d in res.description]
-        duck[n] = vhash(res.fetchall(), cols)
+        tbl = con.execute(oracles[n]).fetch_arrow_table()
+        bad = [f"{f.name}:{f.type}" for f in tbl.schema
+               if str(f.type) not in allowed]
+        if bad:
+            print(f"TYPEFENCE {n}: oracle Arrow type outside fence: {bad}")
+            type_fail += 1
+        cols = tbl.column_names
+        pycols = [tbl.column(c).to_pylist() for c in cols]
+        rows = list(zip(*pycols)) if cols else []
+        duck[n] = vhash(rows, cols)
 
     failed = 0
     for par in (7, 32):
@@ -72,8 +85,8 @@ def main():
             if not ok:
                 failed += 1
         spark.stop()
-    print(f"\n{failed} diverged")
-    return 1 if failed else 0
+    print(f"\n{failed} diverged, {type_fail} type-fence failures")
+    return 1 if (failed or type_fail) else 0
 
 
 if __name__ == "__main__":

@@ -1,6 +1,16 @@
 """Local mirror of the driver's correctness gate: run each queries()
 entry on Spark and its oracle_sql() on DuckDB at sf0.01, compare
 row-count + order-insensitive value hash (columns sorted by name).
+
+The oracle side is fetched through Arrow (fetch_arrow_table), NOT
+fetchall(): fetchall() converts DuckDB HUGEINT/DECIMAL to plain Python
+ints, type-erasing exactly the divergence class that kept
+events_sessionize driver-red for four rounds while this mirror reported
+PASS.  Arrow preserves the physical output type (HUGEINT →
+decimal128(38,0), which stringifies/hashes differently from int64), so
+local green now predicts driver green on that axis.  A physical-type
+fence additionally rejects any oracle output column whose Arrow type is
+outside {int64, float64, string, bool}.
 """
 
 from __future__ import annotations
@@ -35,6 +45,35 @@ def norm_cell(v):
     if isinstance(v, bool):
         return str(int(v))
     return str(v)
+
+
+# Arrow types a well-formed oracle may emit (matches what Spark's
+# collect() yields for bigint/double/string/boolean outputs).  Anything
+# else — decimal128 from HUGEINT sums, date32, timestamp — would hash
+# differently in a typed driver fetch path and must be CAST in the SQL.
+# int32 allowed: Spark emits IntegerType for row_number() etc. and the
+# matching oracles CAST to INT deliberately (exact-match fence lives in
+# tests/test_oracle_type_fence.py).
+ALLOWED_ARROW = {"int32", "int64", "double", "string", "large_string",
+                 "bool"}
+
+
+def fetch_oracle_arrow(con, sql):
+    """Run an oracle and return (colnames, rows, bad_types).
+
+    rows come from the Arrow table (not fetchall) so physical-type
+    divergences like HUGEINT→Decimal survive into the value hash;
+    bad_types lists any column whose Arrow type is outside ALLOWED_ARROW.
+    """
+    tbl = con.execute(sql).fetch_arrow_table()
+    cols = tbl.column_names
+    bad = [
+        f"{f.name}:{f.type}" for f in tbl.schema
+        if str(f.type) not in ALLOWED_ARROW
+    ]
+    pycols = [tbl.column(c).to_pylist() for c in cols]
+    rows = list(zip(*pycols)) if cols else []
+    return cols, rows, bad
 
 
 def value_hash(rows, colnames):
@@ -81,11 +120,15 @@ def main():
             print(f"ROWS-ONLY {name}: {len(srows)} rows")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dcols, drows, bad_types = fetch_oracle_arrow(con, oracles[name])
         except Exception as e:
             print(f"FAIL {name}: duckdb error {e}")
+            failed += 1
+            continue
+        if bad_types:
+            # str(Decimal('42')) == '42' so the value hash alone cannot
+            # see this class — the type fence is the hard gate.
+            print(f"FAIL {name}: oracle Arrow type outside fence: {bad_types}")
             failed += 1
             continue
         ok_count = len(srows) == len(drows)

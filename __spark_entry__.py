@@ -1234,72 +1234,17 @@ def _q_filter_words_num_bpe(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver evaluates the FIRST 50
     entries. Rotation policy (published in COVERAGE.md): every oracle
-    row gets a fresh driver verdict at least every 2 rounds. Round-4
-    window = changed/new rows (sessionize rewrite, 4 upgraded oracles,
-    13 first-contact media/file rows) + the 28 r01/r02-green veterans
-    last driver-checked in r02 + the 5 standing rows-only entries; the
-    41 rows driver-green in CORRECTNESS_r03 sit below the cut this
-    round and rotate back in next round."""
+    row gets a fresh driver verdict at least every 2 rounds. Round-5
+    window = events_sessionize (oracle HUGEINT fix this round — needs
+    a fresh verdict) + the 41 rows last driver-checked in r03 rotating
+    back in + the 5 queries whose Spark/oracle side changed this round
+    (error-kind normalization, int64 width alignment) + 3 rows-only
+    dedup entries; the 42 rows driver-green in CORRECTNESS_r04 sit
+    below the cut and rotate back in r6."""
     return {
-        # -- changed this round (r1-r3 red; rewritten environment-proof)
+        # -- fresh verdict needed: oracle-side HUGEINT->BIGINT fix (r5)
         "events_sessionize": _q_events_sessionize,
-        # -- rows-only -> full-oracle upgrades this round
-        "selector_random": _q_selector_random,
-        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
-        "dedup_embedding_cosine": _q_dedup_embedding_cosine,
-        # -- first driver contact: media/file ops (synthesized payloads)
-        "filter_image_size": _q_filter_image_size,
-        "filter_audio_duration": _q_filter_audio_duration,
-        "filter_image_shape": _q_filter_image_shape,
-        "filter_image_aspect_ratio": _q_filter_image_aspect_ratio,
-        "mapper_video_frame_sample": _q_mapper_video_frame_sample,
-        "mapper_image_resize": _q_mapper_image_resize,
-        "mapper_audio_noise": _q_mapper_audio_noise,
-        "mapper_ffmpeg_wrapped": _q_mapper_ffmpeg_wrapped,
-        "mapper_download_file": _q_mapper_download_file,
-        "mapper_python_file": _q_mapper_python_file,
-        "dedup_image_phash": _q_dedup_image_phash,
-        "mapper_image_blur": _q_mapper_image_blur,
-        "mapper_nlpcda_zh": _q_mapper_nlpcda_zh,
-        # -- veterans rotating back in (last driver verdict: r02; six of
-        #    them changed in r3 and were mirror-re-verified only)
-        "filter_embd_similarity": _q_filter_embd_similarity,
-        "quality_score": _q_quality_score,
-        "filter_stopwords": _q_filter_stopwords,
-        "filter_alphanumeric": _q_filter_alphanumeric,
-        "filter_avg_line_length": _q_filter_avg_line_length,
-        "filter_max_line_length": _q_filter_max_line_length,
-        "filter_specified_numeric": _q_filter_specified_numeric,
-        "filter_general_field": _q_filter_general_field,
-        "filter_token_num": _q_filter_token_num,
-        "mapper_clean_links": _q_mapper_clean_links,
-        "mapper_remove_long_words": _q_mapper_remove_long_words,
-        "mapper_replace_content": _q_mapper_replace_content,
-        "mapper_sentence_split": _q_mapper_sentence_split,
-        "mapper_whitespace_norm": _q_mapper_whitespace_norm,
-        "mapper_remove_specific_chars": _q_mapper_remove_specific_chars,
-        "mapper_clean_email": _q_mapper_clean_email,
-        "mapper_clean_ip": _q_mapper_clean_ip,
-        "mapper_punctuation_norm": _q_mapper_punctuation_norm,
-        "mapper_fix_unicode": _q_mapper_fix_unicode,
-        "mapper_remove_bibliography": _q_mapper_remove_bibliography,
-        "mapper_remove_comments": _q_mapper_remove_comments,
-        "mapper_remove_header": _q_mapper_remove_header,
-        "dedup_exact_lowercase": _q_dedup_exact_lowercase,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "selector_frequency": _q_selector_frequency,
-        "selector_tags": _q_selector_tags,
-        "grouper_key_value": _q_grouper_key_value,
-        "filter_words_num": _q_filter_words_num,
-        # -- standing rows-only entries (driver records row counts)
-        "dedup_minhash": _q_dedup_minhash,
-        "dedup_simhash": _q_dedup_simhash,
-        "similarity_lsh": _q_similarity_lsh,
-        "similarity_ivf": _q_similarity_ivf,
-        "mapper_nlpaug": _q_mapper_nlpaug,
-        # ---------------- driver cut (first 50 above) ----------------
-        # everything below was driver-green in CORRECTNESS_r03 and
-        # rotates back into the window next round
+        # -- rotating back in (last driver verdict: r03)
         "mapper_remove_table_text": _q_mapper_remove_table_text,
         "mapper_remove_incorrect_substrings": _q_mapper_remove_incorrect_substrings,
         "mapper_remove_non_chinese": _q_mapper_remove_non_chinese,
@@ -1341,8 +1286,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": _q_similarity_topk,
         "group_stats": _q_group_stats,
         "analyzer_summary": _q_analyzer_summary,
+        # -- changed this round: ffmpeg error-kind normalization +
+        #    int64 width alignment with their oracles
+        "mapper_ffmpeg_wrapped": _q_mapper_ffmpeg_wrapped,
+        "mapper_image_resize": _q_mapper_image_resize,
+        "filter_image_shape": _q_filter_image_shape,
+        "filter_image_aspect_ratio": _q_filter_image_aspect_ratio,
+        "filter_token_num": _q_filter_token_num,
+        # -- rows-only entries (driver records row counts)
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_image_phash": _q_dedup_image_phash,
+        # ---------------- driver cut (first 50 above) ----------------
+        # everything below was driver-green in CORRECTNESS_r04 (or is
+        # rows-only, r4-recorded) and rotates back into the window in r6
+        "selector_random": _q_selector_random,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_embedding_cosine": _q_dedup_embedding_cosine,
+        "filter_image_size": _q_filter_image_size,
+        "filter_audio_duration": _q_filter_audio_duration,
+        "mapper_video_frame_sample": _q_mapper_video_frame_sample,
+        "mapper_audio_noise": _q_mapper_audio_noise,
+        "mapper_download_file": _q_mapper_download_file,
+        "mapper_python_file": _q_mapper_python_file,
+        "mapper_image_blur": _q_mapper_image_blur,
+        "mapper_nlpcda_zh": _q_mapper_nlpcda_zh,
+        "filter_embd_similarity": _q_filter_embd_similarity,
+        "quality_score": _q_quality_score,
+        "filter_stopwords": _q_filter_stopwords,
+        "filter_alphanumeric": _q_filter_alphanumeric,
+        "filter_avg_line_length": _q_filter_avg_line_length,
+        "filter_max_line_length": _q_filter_max_line_length,
+        "filter_specified_numeric": _q_filter_specified_numeric,
+        "filter_general_field": _q_filter_general_field,
+        "mapper_clean_links": _q_mapper_clean_links,
+        "mapper_remove_long_words": _q_mapper_remove_long_words,
+        "mapper_replace_content": _q_mapper_replace_content,
+        "mapper_sentence_split": _q_mapper_sentence_split,
+        "mapper_whitespace_norm": _q_mapper_whitespace_norm,
+        "mapper_remove_specific_chars": _q_mapper_remove_specific_chars,
+        "mapper_clean_email": _q_mapper_clean_email,
+        "mapper_clean_ip": _q_mapper_clean_ip,
+        "mapper_punctuation_norm": _q_mapper_punctuation_norm,
+        "mapper_fix_unicode": _q_mapper_fix_unicode,
+        "mapper_remove_bibliography": _q_mapper_remove_bibliography,
+        "mapper_remove_comments": _q_mapper_remove_comments,
+        "mapper_remove_header": _q_mapper_remove_header,
+        "dedup_exact_lowercase": _q_dedup_exact_lowercase,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "selector_frequency": _q_selector_frequency,
+        "selector_tags": _q_selector_tags,
+        "grouper_key_value": _q_grouper_key_value,
+        "filter_words_num": _q_filter_words_num,
+        "similarity_lsh": _q_similarity_lsh,
+        "similarity_ivf": _q_similarity_ivf,
+        "mapper_nlpaug": _q_mapper_nlpaug,
     }
-
 
 # ---------------------------------------------------------------------------
 # DuckDB oracles (same aliases, same rounding)

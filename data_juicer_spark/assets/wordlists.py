@@ -382,36 +382,34 @@ def load_words_dir(words_dir: str, words_type: str, fallback: dict) -> dict:
     """Reference load_words_asset parity minus the download
     (utils/asset_utils.py:19-41): merge every `*.json` file in
     `words_dir` whose NAME contains `words_type` ({lang: [words]}
-    dicts, per-lang lists concatenated across files). Falls back to the
-    in-repo `fallback` table only when NO words_dir was supplied — the
-    reference would download at that point; this engine is hermetic.
-    An explicitly supplied words_dir that yields no matching `*.json`
-    is a hard error (the reference treats empty-dir as download-or-
-    raise, utils/asset_utils.py:19-41): silently switching word tables
-    on a typo'd path would silently change keep/drop decisions."""
+    dicts, per-lang lists concatenated across files). When the dir
+    yields nothing, the reference DOWNLOADS the standard lists into it
+    (utils/asset_utils.py:19-41 — its published config_all.yaml ships
+    words_dir='./assets', a dir that need not pre-exist); this hermetic
+    engine uses the in-repo `fallback` table as the downloaded-content
+    analogue, but LOUDLY: an explicitly supplied dir that contributes
+    no words emits a UserWarning naming the dir and the substitution,
+    so a typo'd path cannot silently change keep/drop decisions."""
     import json
     import os
+    import warnings
 
     out: dict = {}
-    if words_dir:
-        if not os.path.isdir(words_dir):
-            raise FileNotFoundError(
-                f"words_dir={words_dir!r} does not exist or is not a "
-                f"directory; refusing to silently fall back to the "
-                f"built-in {words_type} table"
-            )
+    if words_dir and os.path.isdir(words_dir):
         for filename in sorted(os.listdir(words_dir)):
             if filename.endswith(".json") and words_type in filename:
                 with open(os.path.join(words_dir, filename)) as fh:
                     loaded = json.load(fh)
                 for key, vals in loaded.items():
                     out.setdefault(key, []).extend(vals)
-        if not out:
-            raise FileNotFoundError(
-                f"words_dir={words_dir!r} contains no '*.json' file whose "
-                f"name contains {words_type!r}; refusing to silently fall "
-                f"back to the built-in table (check the filename — the "
-                f"reference requires e.g. '{words_type}.json')"
-            )
-        return out
-    return fallback
+    if words_dir and not out:
+        warnings.warn(
+            f"words_dir={words_dir!r} contains no '*.json' file whose "
+            f"name contains {words_type!r}; using the built-in "
+            f"{words_type} table instead (the reference would download "
+            f"the standard lists into that dir at this point — check "
+            f"the path/filename if you meant to supply custom lists)",
+            UserWarning,
+            stacklevel=2,
+        )
+    return out or fallback

@@ -50,13 +50,18 @@ def num_words(col: Column) -> Column:
     """word count AFTER words_refinement's special-char edge strip
     (words_num_filter.py:77: pure-special tokens like "--" or "..."
     do not count as words in the reference). A word survives the strip
-    iff it contains at least one non-special char, so the count needs
-    only a containment test — one regex probe per word instead of the
-    full lower+btrim+filter chain (measured 60% faster on the bench
-    pipeline, same value)."""
+    iff it contains at least one non-special char, so the count equals
+    the number of regex matches of `[^special][^ \\n\\t]*` over the raw
+    text: each match anchors at the FIRST non-special char of a
+    whitespace-split token and greedily consumes the token's remainder
+    (special chars are a superset of the split chars, so a match can
+    never cross a token boundary, and greed guarantees at most one
+    match per token). One linear scan, no array materialization, no
+    per-word matcher — replaces the r4 per-word containment probe
+    (which was itself 60% faster than the full lower+btrim+filter
+    chain); same value on the 204-case adversarial parity fence."""
     cls = _charclass(SPECIAL_CHARACTERS)
-    return F.size(F.filter(
-        words(col), lambda w: F.regexp_like(w, F.lit(f"[^{cls}]"))))
+    return F.regexp_count(col, F.lit(f"[^{cls}][^ \n\t]*"))
 
 
 def lines(col: Column) -> Column:

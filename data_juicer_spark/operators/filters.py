@@ -25,7 +25,20 @@ from data_juicer_spark.registry import OPERATORS
 
 
 class _RangeFilter(Filter):
-    """Common shape: one stat column, keep if min<=stat<=max."""
+    """Common shape: one stat column, keep if min<=stat<=max.
+
+    Filters whose stat is a pure Catalyst expression override
+    ``stat_expr_on(col)`` (stat over an ARBITRARY column expression);
+    pandas-UDF stats override ``stat_expr(df)`` directly and stay
+    non-fusable. ``stat_expr_on`` is what enables filter fusion: the
+    keep decision can then be evaluated inside a higher-order-function
+    lambda, which binds the (possibly expensive) upstream text
+    expression to a lambda variable that Catalyst CANNOT substitute
+    through — so a chain of regexp mappers feeding N fused filters is
+    evaluated once per row instead of once per stat/predicate reference
+    (measured 4x on the bench cleaning pipeline; the reference's
+    INTER_WORDS op fusion, op_fusion.py:14-28, is the analogous
+    share-the-tokenization optimization)."""
 
     stat_key: str = ""
 
@@ -34,8 +47,24 @@ class _RangeFilter(Filter):
         self.min_val = min_val
         self.max_val = max_val
 
+    def stat_expr_on(self, col: Column):
+        """Stat as a function of an arbitrary column expression, or
+        None when the stat needs a pandas UDF (not HOF-expressible)."""
+        return None
+
     def stat_expr(self, df: DataFrame) -> Column:
-        raise NotImplementedError
+        e = self.stat_expr_on(F.col(self.text_key))
+        if e is None:
+            raise NotImplementedError
+        return e
+
+    def keep_on(self, col: Column):
+        """Keep decision over an arbitrary text column expression, or
+        None when not fusable."""
+        e = self.stat_expr_on(col)
+        if e is None:
+            return None
+        return self.keep_between(e, self.min_val, self.max_val)
 
     def stats_exprs(self, df: DataFrame) -> Dict[str, Column]:
         return {self.stat_key: self.stat_expr(df)}
@@ -44,6 +73,13 @@ class _RangeFilter(Filter):
         return self.keep_between(
             F.col(f"{STATS_COL}.{self.stat_key}"), self.min_val, self.max_val
         )
+
+    # NOTE: single-op apply() stays the two-phase base path on purpose:
+    # a HOF exists()-lambda predicate drops FilterExec out of
+    # whole-stage codegen, which only pays off when it prevents an
+    # expensive upstream expression from being re-inlined MANY times —
+    # i.e. for runs of >=2 filters, which Pipeline fuses via
+    # _FusedFilterRun (pipeline.py). A lone filter keeps codegen.
 
 
 @OPERATORS.register("text_length_filter")
@@ -55,8 +91,8 @@ class TextLengthFilter(_RangeFilter):
     def __init__(self, min_len: int = 10, max_len: int = sys.maxsize, **kw):
         super().__init__(min_val=min_len, max_val=max_len, **kw)
 
-    def stat_expr(self, df):
-        return T.text_len(F.col(self.text_key)).cast("long")
+    def stat_expr_on(self, col):
+        return T.text_len(col).cast("long")
 
 
 @OPERATORS.register("words_num_filter")
@@ -92,10 +128,10 @@ class WordsNumFilter(_RangeFilter):
         self.tokenization = tokenization
         self.lang = lang  # selects the tokenizer model in the reference
 
-    def stat_expr(self, df):
+    def stat_expr_on(self, col):
         if self.tokenization == "regex_bpe":
-            return T.token_count_regex(F.col(self.text_key)).cast("long")
-        return T.num_words(F.col(self.text_key)).cast("long")
+            return T.token_count_regex(col).cast("long")
+        return T.num_words(col).cast("long")
 
 
 @OPERATORS.register("alphanumeric_filter")
@@ -118,8 +154,8 @@ class AlphanumericFilter(_RangeFilter):
                 "regex-BPE proxy")
         super().__init__(min_val=min_ratio, max_val=max_ratio, **kw)
 
-    def stat_expr(self, df):
-        return T.alnum_ratio(F.col(self.text_key))
+    def stat_expr_on(self, col):
+        return T.alnum_ratio(col)
 
 
 @OPERATORS.register("average_line_length_filter")
@@ -131,8 +167,8 @@ class AverageLineLengthFilter(_RangeFilter):
     def __init__(self, min_len: float = 10, max_len: float = float(sys.maxsize), **kw):
         super().__init__(min_val=min_len, max_val=max_len, **kw)
 
-    def stat_expr(self, df):
-        return T.avg_line_length(F.col(self.text_key))
+    def stat_expr_on(self, col):
+        return T.avg_line_length(col)
 
 
 @OPERATORS.register("maximum_line_length_filter")
@@ -144,8 +180,8 @@ class MaximumLineLengthFilter(_RangeFilter):
     def __init__(self, min_len: int = 10, max_len: int = sys.maxsize, **kw):
         super().__init__(min_val=min_len, max_val=max_len, **kw)
 
-    def stat_expr(self, df):
-        return T.max_line_length(F.col(self.text_key)).cast("long")
+    def stat_expr_on(self, col):
+        return T.max_line_length(col).cast("long")
 
 
 @OPERATORS.register("special_characters_filter")
@@ -157,8 +193,8 @@ class SpecialCharactersFilter(_RangeFilter):
     def __init__(self, min_ratio: float = 0.0, max_ratio: float = 0.25, **kw):
         super().__init__(min_val=min_ratio, max_val=max_ratio, **kw)
 
-    def stat_expr(self, df):
-        return T.special_char_ratio(F.col(self.text_key))
+    def stat_expr_on(self, col):
+        return T.special_char_ratio(col)
 
 
 @OPERATORS.register("token_num_filter")
@@ -177,8 +213,8 @@ class TokenNumFilter(_RangeFilter):
         self.hf_tokenizer = hf_tokenizer
         super().__init__(min_val=min_num, max_val=max_num, **kw)
 
-    def stat_expr(self, df):
-        return T.token_count_regex(F.col(self.text_key)).cast("long")
+    def stat_expr_on(self, col):
+        return T.token_count_regex(col).cast("long")
 
 
 @OPERATORS.register("character_repetition_filter")
@@ -316,9 +352,9 @@ class StopwordsFilter(_RangeFilter):
         self.words_aug_group_sizes = tuple(words_aug_group_sizes)
         self.words_aug_join_char = words_aug_join_char
 
-    def stat_expr(self, df):
+    def stat_expr_on(self, col):
         return T.stopword_like_ratio(
-            F.col(self.text_key), self.stopwords,
+            col, self.stopwords,
             use_words_aug=self.use_words_aug,
             words_aug_group_sizes=self.words_aug_group_sizes,
             words_aug_join_char=self.words_aug_join_char)
@@ -358,9 +394,9 @@ class FlaggedWordsFilter(_RangeFilter):
         self.words_aug_group_sizes = tuple(words_aug_group_sizes)
         self.words_aug_join_char = words_aug_join_char
 
-    def stat_expr(self, df):
+    def stat_expr_on(self, col):
         return T.stopword_like_ratio(
-            F.col(self.text_key), self.flagged,
+            col, self.flagged,
             use_words_aug=self.use_words_aug,
             words_aug_group_sizes=self.words_aug_group_sizes,
             words_aug_join_char=self.words_aug_join_char)
@@ -659,8 +695,7 @@ class TextQualityScoreFilter(_RangeFilter):
     def __init__(self, min_score: float = 0.3, max_score: float = 1.0, **kw):
         super().__init__(min_val=min_score, max_val=max_score, **kw)
 
-    def stat_expr(self, df):
-        c = F.col(self.text_key)
+    def stat_expr_on(self, c):
         len_score = F.least(T.text_len(c) / F.lit(1000.0), F.lit(1.0))
         alnum = T.alnum_ratio(c)
         from data_juicer_spark.assets import STOPWORDS

@@ -24,6 +24,76 @@ from pyspark.sql.observation import Observation
 from data_juicer_spark.registry import load_ops
 
 
+class _FusedFilterRun:
+    """A maximal run of consecutive Catalyst-pure range filters over the
+    same text column, fused into ONE exists()-lambda predicate.
+
+    Why: Catalyst substitutes filter predicates through projections
+    unconditionally, so N sequential filters downstream of a regexp
+    mapper chain re-inline the whole chain into every stat reference
+    (~2N+2 evaluations per row); FilterExec does not common-subexpression
+    -eliminate across conjuncts. Binding the text column to a
+    higher-order-function lambda variable is a substitution barrier the
+    optimizer respects, so the chain is evaluated exactly once per row
+    for the entire run (plan-gated in tests/test_plans.py; measured 4x
+    on the bench cleaning pipeline at sf0.1). Mirrors the intent of the
+    reference's INTER_WORDS op fusion (core/optimizer/op_fusion.py:14-28)
+    — share the expensive tokenization across fused ops — expressed as
+    a Catalyst rewrite instead of a fused Python loop.
+
+    Output contract is identical to applying the run sequentially: same
+    surviving rows (stats are pure per-row functions, conjunction ==
+    chained filters) and same stats-struct schema (each op's stat merged
+    in op order; Catalyst prunes the struct when nothing consumes it).
+    """
+
+    def __init__(self, ops):
+        self.ops = ops
+        self.text_key = ops[0].text_key
+        self.name = "fused(" + "+".join(op.name for op in ops) + ")"
+
+    def _keep(self):
+        def conj(t):
+            cond = None
+            for op in self.ops:
+                k = op.keep_on(t)
+                cond = k if cond is None else (cond & k)
+            return cond
+
+        return F.exists(F.array(F.col(self.text_key)), conj)
+
+    def _all_stats(self, df):
+        exprs = {}
+        for op in self.ops:
+            exprs.update(op.stats_exprs(df))
+        return exprs
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from data_juicer_spark.operators.base import merge_stats
+
+        return merge_stats(df.filter(self._keep()), self._all_stats(df))
+
+    # flag-mode surface (Pipeline CDC path): stats for ALL rows, keep
+    # decision AND-ed into the flag column instead of dropping
+    def compute_stats(self, df: DataFrame) -> DataFrame:
+        from data_juicer_spark.operators.base import merge_stats
+
+        return merge_stats(df, self._all_stats(df))
+
+    def keep_expr(self, df: DataFrame):
+        return self._keep()
+
+
+def _fusable(op) -> bool:
+    keep_on = getattr(op, "keep_on", None)
+    if keep_on is None:
+        return False
+    try:
+        return keep_on(F.col(op.text_key)) is not None
+    except Exception:
+        return False
+
+
 class Pipeline:
     def __init__(self, process: List[dict], observe: bool = False,
                  text_key: Optional[str] = None):
@@ -59,12 +129,18 @@ class Pipeline:
         self.observations = {}
         if filter_mode == "flag":
             df = df.withColumn(flag_col, F.lit(True))
-        for i, op in enumerate(self.ops):
+        ops = self._fuse_filter_runs(self.ops) if not self.observe \
+            else self.ops
+        for i, op in enumerate(ops):
             if self.observe:
                 obs = Observation(f"{i:02d}_{op.name}_in")
                 df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
                 self.observations[f"{i:02d}_{op.name}_in"] = obs
-            if filter_mode == "flag" and isinstance(op, Filter) \
+            if filter_mode == "flag" and isinstance(op, _FusedFilterRun):
+                df = op.compute_stats(df)
+                df = df.withColumn(flag_col,
+                                   F.col(flag_col) & op.keep_expr(df))
+            elif filter_mode == "flag" and isinstance(op, Filter) \
                     and type(op).keep_expr is not Filter.keep_expr:
                 df = op.compute_stats(df)
                 df = df.withColumn(flag_col, F.col(flag_col) & op.keep_expr(df))
@@ -92,6 +168,32 @@ class Pipeline:
     def op_stats(self) -> dict[str, int]:
         """Row counts seen at each op boundary (valid after an action)."""
         return {k: v.get["rows"] for k, v in self.observations.items()}
+
+    @staticmethod
+    def _fuse_filter_runs(ops):
+        """Replace maximal runs of >=2 consecutive fusable filters
+        (Catalyst-pure stat, same text column) with one
+        _FusedFilterRun; everything else passes through in order."""
+        out, run = [], []
+
+        def flush():
+            if len(run) >= 2:
+                out.append(_FusedFilterRun(list(run)))
+            else:
+                out.extend(run)
+            run.clear()
+
+        for op in ops:
+            if _fusable(op) and (not run or op.text_key == run[0].text_key):
+                run.append(op)
+            else:
+                flush()
+                if _fusable(op):
+                    run.append(op)
+                else:
+                    out.append(op)
+        flush()
+        return out
 
 
 def from_yaml(path_or_str: str, observe: bool = False) -> Pipeline:

@@ -388,3 +388,49 @@ def test_minhash_reference_goldens(spark, case):
         id_key="id", **fix["kwargs"])
     kept_texts = [r["text"] for r in op.apply(df).orderBy("id").collect()]
     assert kept_texts == fix["tgt_list"]
+
+
+@pytest.mark.parametrize("ham", [0, 1, 4])
+def test_simhash_exhaustive_oracle_parametrized(spark, ham):
+    """Full-pipeline exhaustive oracle (hash -> blocks -> clusters ->
+    keep-set) vs a brute-force Python union-find at 200 engineered
+    docs, parametrized over hamming_distance in {0, 1, 4} — locks the
+    keep-first semantics at the exact-collision threshold (0), the
+    near-exact threshold (1), and the default (4). Doc corpus: ~70
+    distinct bases plus exact duplicates (hamming 0 by construction)
+    and word-level mutations (small nonzero distances)."""
+    import random
+
+    rng = random.Random(77)
+    vocab = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+             "golf", "hotel", "india", "juliet", "kilo", "lima", "mike",
+             "november", "oscar", "papa", "quebec", "romeo", "sierra",
+             "tango"]
+    texts = []
+    while len(texts) < 200:
+        base = " ".join(rng.choice(vocab) for _ in range(rng.randint(8, 16)))
+        texts.append(base)                      # distinct base
+        if len(texts) < 200:
+            texts.append(base)                  # exact duplicate
+        if len(texts) < 200 and rng.random() < 0.7:
+            toks = base.split()
+            toks[rng.randrange(len(toks))] = rng.choice(vocab)
+            texts.append(" ".join(toks))        # near-dup mutation
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+    sigs = {i: _simhash64(t) for i, t in enumerate(texts)}
+    ids = sorted(sigs)
+    uf = UnionFind()
+    for i, a in enumerate(ids):
+        for b_ in ids[i + 1:]:
+            if bin(sigs[a] ^ sigs[b_]).count("1") <= ham:
+                uf.union(a, b_)
+    expected = uf.kept(ids)
+    # each threshold must be discriminative on this corpus: something
+    # is dropped, something survives
+    assert 0 < len(expected) < len(ids)
+
+    op = OPERATORS.get("document_simhash_deduplicator")(
+        id_key="doc_id", hamming_distance=ham, max_block_size=10 ** 9)
+    assert spark_kept(op, docs) == expected

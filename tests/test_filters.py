@@ -297,21 +297,28 @@ def test_words_dir_loading_and_all_lang(tmp_path, spark):
                                               stopwords_dir=str(d),
                                               lang="en")
     assert set(op_en.stopwords) == {"zzfoo", "zzbar"}
-    # an explicitly supplied dir that yields nothing is a HARD error —
-    # silently switching to the built-in table would silently change
-    # keep/drop decisions (reference treats empty as download-or-raise)
+    # an explicitly supplied dir that yields nothing falls back to the
+    # built-in table (the reference would DOWNLOAD the standard lists
+    # there — its config_all.yaml ships words_dir='./assets') but must
+    # WARN loudly so a typo'd path can't silently change keep/drop
     import pytest
 
-    with pytest.raises(FileNotFoundError, match="does not exist"):
-        OPERATORS.get("stopwords_filter")(
+    with pytest.warns(UserWarning, match="built-in stopwords table"):
+        op_fb = OPERATORS.get("stopwords_filter")(
             min_ratio=0.0, stopwords_dir=str(tmp_path / "nope"))
+    assert "the" in op_fb.stopwords
     empty = tmp_path / "empty"
     empty.mkdir()
-    with pytest.raises(FileNotFoundError, match="no '\\*\\.json'"):
-        OPERATORS.get("stopwords_filter")(
+    with pytest.warns(UserWarning, match="no '\\*\\.json'"):
+        op_fb = OPERATORS.get("stopwords_filter")(
             min_ratio=0.0, stopwords_dir=str(empty))
-    # no dir supplied → built-in table
-    op_fb = OPERATORS.get("stopwords_filter")(min_ratio=0.0)
+    assert "the" in op_fb.stopwords
+    # no dir supplied → built-in table, no warning
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        op_fb = OPERATORS.get("stopwords_filter")(min_ratio=0.0)
     assert "the" in op_fb.stopwords
 
 

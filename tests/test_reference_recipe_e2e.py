@@ -104,6 +104,10 @@ def test_every_published_recipe_entry_constructs():
     import glob
 
     from data_juicer_spark.registry import OPERATORS
+    import data_juicer_spark.operators  # noqa: F401  (populate registry —
+    # the `name not in OPERATORS._ops` probe below never calls .get(),
+    # so without this the sweep silently skips everything when the test
+    # runs before any other operator-importing test)
 
     files = sorted(glob.glob("/root/reference/configs/**/*.yaml",
                              recursive=True))

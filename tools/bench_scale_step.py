@@ -1,0 +1,130 @@
+"""Scale-step evidence (sf0.1 -> sf1, a measured 10x) for the north
+rule's 10^10-event target: run the two heaviest engine paths — the CDC
+replay loop and MinHash-LSH dedup — at 10x the per-round bench scale on
+one box and report wall time + throughput next to the sf0.1 numbers.
+
+What "passes": near-linear wall-time growth (<= ~10x on 10x input; the
+paths are O(n) maps + O(n log n) shuffles) and no driver-memory creep —
+every stage stays distributed (no collect of data rows anywhere).
+
+Inputs are synthesized deterministically (no external data):
+  - CDC: generate_events at 4,000,000 events (10x the bench's 400k),
+    same epoch structure (4 epochs) and key skew.
+  - Dedup: the sf0.1 documents table replicated 10x with a per-copy
+    token appended to ~half the texts (deterministic via doc_id
+    parity), so copies are near-dups — the adversarial case for
+    MinHash banding (real extra candidate pairs, not trivially equal
+    hashes) — while the other half are exact replicas.
+
+Usage: python tools/bench_scale_step.py   (append output to BASELINE.md)
+Env: SCALE_STEP_EVENTS (default 4_000_000), SCALE_STEP_DOC_COPIES (10).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+EVENTS = int(os.environ.get("SCALE_STEP_EVENTS", 4_000_000))
+EPOCHS = int(os.environ.get("SCALE_STEP_EPOCHS", 4))
+COPIES = int(os.environ.get("SCALE_STEP_DOC_COPIES", 10))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", 0)) or (os.cpu_count() or 4)
+
+
+def loadavg1() -> float:
+    return os.getloadavg()[0]
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from data_juicer_spark import get_spark
+    from data_juicer_spark.cdc import CdcReplayer, generate_events
+    from data_juicer_spark.lake import SnapshotTable
+    from data_juicer_spark.pipeline import Pipeline
+    from data_juicer_spark.registry import OPERATORS
+    import data_juicer_spark.operators  # noqa: F401
+
+    spark = get_spark(parallelism=CPUS, shuffle_partitions=max(CPUS, 16),
+                      app_name="scale-step")
+    out: dict = {"events": EVENTS, "epochs": EPOCHS,
+                 "doc_copies": COPIES, "cpus": CPUS,
+                 "load_1min_at_start": round(loadavg1(), 2)}
+
+    # ---- dedup_minhash at 10x docs --------------------------------
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n0 = docs.count()
+    copies = None
+    for i in range(COPIES):
+        # near-dup mutation on odd doc_ids: append a per-copy token
+        mutated = docs.select(
+            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+            F.when((F.col("doc_id") % 2 == 1) & (F.lit(i) > 0),
+                   F.concat(F.col("text"), F.lit(f" copytok{i}")))
+            .otherwise(F.col("text")).alias("text"),
+        )
+        copies = mutated if copies is None else copies.unionByName(mutated)
+    big_docs = copies.repartition(CPUS * 2).persist()
+    n_big = big_docs.count()  # materialize outside the fence
+    out["docs_rows"] = n_big
+    assert n_big == n0 * COPIES
+
+    op = OPERATORS.get("document_minhash_deduplicator")(
+        text_key="text", id_key="doc_id", num_permutations=128,
+        jaccard_threshold=0.7)
+    t0 = time.time()
+    kept = op.apply(big_docs).agg({"doc_id": "count"}).collect()[0][0]
+    out["dedup_minhash_sec_10x"] = round(time.time() - t0, 3)
+    out["dedup_minhash_kept"] = kept
+    big_docs.unpersist()
+
+    # ---- CDC replay at 10x events ---------------------------------
+    root = tempfile.mkdtemp(prefix="scale_step_lake_")
+    try:
+        events = generate_events(
+            spark, EVENTS, batch_size=EVENTS // EPOCHS,
+            n_repos=200, n_paths=2000,
+        ).persist()
+        events.count()  # materialize generation outside the fence
+        pipe = Pipeline([
+            {"clean_copyright_mapper": {"text_key": "content"}},
+            {"clean_email_mapper": {"text_key": "content"}},
+            {"clean_links_mapper": {"text_key": "content"}},
+            {"text_length_filter": {"min_len": 20, "max_len": 10**9,
+                                    "text_key": "content"}},
+        ])
+        table = SnapshotTable(spark, root, ["repo", "path"],
+                              num_buckets=64, strategy="mor",
+                              compact_every=8)
+        t0 = time.time()
+        stats = CdcReplayer(table, pipeline=pipe).replay(events)
+        replay_dt = time.time() - t0
+        snap = table.current_snapshot()
+        if snap and snap.get("deltas"):
+            table._compact(snap, epoch=snap["epoch"])
+        dt = time.time() - t0
+        out["cdc_replay_sec_10x"] = round(dt, 3)
+        out["events_per_sec_cold_10x"] = round(EVENTS / dt, 1)
+        per_epoch = EVENTS // max(EPOCHS, 1)
+        steady = [s for s in stats[1:] if not s.skipped]
+        steady_secs = sum(s.seconds for s in steady)
+        if steady and steady_secs > 0:
+            out["events_per_sec_10x"] = round(
+                per_epoch * len(steady) / steady_secs, 1)
+        events.unpersist()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    out["load_1min_at_end"] = round(loadavg1(), 2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

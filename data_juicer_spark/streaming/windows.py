@@ -80,10 +80,17 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800,
         uid = key[0]
 
         def emit(start, last, n, v_micros):
+            # construct at MICROsecond precision: Spark timestamps are
+            # us, and pd.Timestamp(float_secs, unit="s") lands on ns —
+            # real-data fractional seconds then fail Arrow's safe
+            # ns->us narrowing (found by the batch-equivalence test on
+            # the sf0.001 events table, which carries us precision)
             return pd.DataFrame({
                 "user_id": [uid],
-                "session_start": [pd.Timestamp(start, unit="s")],
-                "session_end": [pd.Timestamp(last, unit="s")],
+                "session_start": [pd.Timestamp(round(start * 1e6),
+                                               unit="us")],
+                "session_end": [pd.Timestamp(round(last * 1e6),
+                                             unit="us")],
                 "n_events": [n],
                 "session_value": [v_micros / 1_000_000.0],
             })

@@ -373,6 +373,73 @@ def _q_similarity_ivf(spark, sf_dir):
                     n_probe=3).select("q_id", "vec_id", "cos_sim", "rank")
 
 
+def _q_similarity_ivf_exhaustive(spark, sf_dir):
+    """IVF-flat with n_probe == n_lists: every query probes EVERY
+    inverted list, so the result is exactly the brute-force top-k
+    regardless of how k-means placed the lists — which makes the full
+    IVF plumbing (JVM KMeans fit, list assignment, probe UDF, list-id
+    equi-join, scoring, ranking) verifiable against the same SQL oracle
+    as similarity_topk. The approximate n_probe<n_lists path keeps its
+    rows-only entry + recall pytest."""
+    from data_juicer_spark.functions.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    emb_d = emb.select("vec_id", F.transform(
+        "embedding", lambda x: x.cast("double")).alias("embedding"))
+    q = emb_d.where(F.col("vec_id") < 5).selectExpr("vec_id as q_id", "embedding")
+    return ivf_topk(q, emb_d.where(F.col("vec_id") >= 5), k=10, n_lists=8,
+                    n_probe=8).select("q_id", "vec_id", "cos_sim", "rank")
+
+
+def _grouped_copies(spark, sf_dir, group: int = 5):
+    """documents reduced to (doc_id, synthesized text) where every
+    group of `group` consecutive ids carries the SAME 40-token text and
+    every token is namespaced by the group id ("w<G>_<j>") — so groups
+    are exact copies internally and share ZERO shingles across groups
+    at ANY scale (an earlier natural-text variant failed at sf0.001:
+    two base documents happened to be near-dups). Any correct near-dup
+    deduplicator must therefore keep exactly the group leaders, a
+    keep-set plain SQL can state. Fully deterministic, derived from
+    doc_id alone — no join, no text dependence."""
+    g = (F.col("doc_id") - F.col("doc_id") % group).cast("string")
+    text = F.concat_ws(" ", F.transform(
+        F.sequence(F.lit(0), F.lit(39)),
+        lambda j: F.concat(F.lit("w"), g, F.lit("_"), j.cast("string"))))
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", text.alias("text"))
+
+
+def _q_dedup_minhash_exact_clusters(spark, sf_dir):
+    """MinHash-LSH over the grouped-copies corpus: exact copies share
+    every signature band, so clusters == id groups and the keep-set is
+    SQL-stable — a full-oracle drive of the signature -> band-minima agg
+    -> star-contraction CC -> keep-min pipeline (the natural-data
+    dedup_minhash row stays rows-only: its clustering is genuinely not
+    SQL-expressible; distinct base texts landing in one band would
+    require a near-total minhash collision, and the run is
+    deterministic — fixed permutations, fixed texts)."""
+    from data_juicer_spark.registry import OPERATORS
+
+    op = OPERATORS.get("document_minhash_deduplicator")(
+        text_key="text", id_key="doc_id", num_permutations=64,
+        jaccard_threshold=0.7,
+    )
+    return op.apply(_grouped_copies(spark, sf_dir)).select("doc_id")
+
+
+def _q_dedup_simhash_exact_clusters(spark, sf_dir):
+    """SimHash over the grouped-copies corpus: identical texts have
+    hamming distance 0; distinct natural-text base docs sit far apart
+    at 64 bits, so clusters == id groups (verified deterministic on the
+    fixed corpus) — full-oracle drive of hash -> blocks -> clusters ->
+    keep-first."""
+    from data_juicer_spark.registry import OPERATORS
+
+    op = OPERATORS.get("document_simhash_deduplicator")(
+        text_key="text", id_key="doc_id")
+    return op.apply(_grouped_copies(spark, sf_dir)).select("doc_id")
+
+
 def _q_analyzer_summary(spark, sf_dir):
     df = _t(spark, sf_dir, "documents")
     parts = []
@@ -1238,9 +1305,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window = events_sessionize (oracle HUGEINT fix this round — needs
     a fresh verdict) + the 41 rows last driver-checked in r03 rotating
     back in + the 5 queries whose Spark/oracle side changed this round
-    (error-kind normalization, int64 width alignment) + 3 rows-only
-    dedup entries; the 42 rows driver-green in CORRECTNESS_r04 sit
-    below the cut and rotate back in r6."""
+    (error-kind normalization, int64 width alignment) + the 3 NEW
+    full-oracle rows (IVF exhaustive-probe, minhash/simhash grouped-
+    copies); the 42 rows driver-green in CORRECTNESS_r04 and the
+    rows-only entries (all r4-recorded) sit below the cut and rotate
+    back in r6."""
     return {
         # -- fresh verdict needed: oracle-side HUGEINT->BIGINT fix (r5)
         "events_sessionize": _q_events_sessionize,
@@ -1293,13 +1362,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_image_shape": _q_filter_image_shape,
         "filter_image_aspect_ratio": _q_filter_image_aspect_ratio,
         "filter_token_num": _q_filter_token_num,
-        # -- rows-only entries (driver records row counts)
-        "dedup_minhash": _q_dedup_minhash,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_image_phash": _q_dedup_image_phash,
+        # -- NEW full-oracle rows this round (rows-only -> oracle
+        #    upgrades: exhaustive-probe IVF == brute force; grouped-
+        #    copies corpora make the minhash/simhash cluster keep-sets
+        #    SQL-stable)
+        "similarity_ivf_exhaustive": _q_similarity_ivf_exhaustive,
+        "dedup_minhash_exact_clusters": _q_dedup_minhash_exact_clusters,
+        "dedup_simhash_exact_clusters": _q_dedup_simhash_exact_clusters,
         # ---------------- driver cut (first 50 above) ----------------
         # everything below was driver-green in CORRECTNESS_r04 (or is
         # rows-only, r4-recorded) and rotates back into the window in r6
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_image_phash": _q_dedup_image_phash,
         "selector_random": _q_selector_random,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
@@ -1723,6 +1798,39 @@ def oracle_sql() -> dict[str, str]:
                  )
             SELECT q_id, vec_id, cos_sim, CAST(rank AS INT) AS rank
             FROM ranked WHERE rank <= 10
+        """,
+        # exhaustive-probe IVF == brute force: same oracle formulation
+        # as similarity_topk (proven green against the engine's rounded-
+        # cos ranking convention since r3)
+        "similarity_ivf_exhaustive": """
+            WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS embedding
+                       FROM embeddings WHERE vec_id < 5),
+                 c AS (SELECT vec_id, embedding::DOUBLE[] AS embedding
+                       FROM embeddings WHERE vec_id >= 5),
+                 scored AS (
+                   SELECT q.q_id, c.vec_id,
+                          list_dot_product(q.embedding, c.embedding) /
+                          (sqrt(list_dot_product(q.embedding, q.embedding)) *
+                           sqrt(list_dot_product(c.embedding, c.embedding))) AS cos_raw
+                   FROM c CROSS JOIN q
+                 ),
+                 ranked AS (
+                   SELECT q_id, vec_id, round(cos_raw, 6) AS cos_sim,
+                          row_number() OVER (PARTITION BY q_id
+                                             ORDER BY cos_raw DESC, vec_id ASC) AS rank
+                   FROM scored
+                 )
+            SELECT q_id, vec_id, cos_sim, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 10
+        """,
+        # grouped-copies corpora: groups of 5 consecutive ids carry the
+        # group leader's exact text, so any correct dedup keeps exactly
+        # the leaders
+        "dedup_minhash_exact_clusters": """
+            SELECT doc_id FROM documents WHERE doc_id % 5 = 0
+        """,
+        "dedup_simhash_exact_clusters": """
+            SELECT doc_id FROM documents WHERE doc_id % 5 = 0
         """,
         "events_hourly": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,

@@ -52,17 +52,27 @@ def main() -> None:
             timings[name] = round(time.time() - t0, 3)
         return deco
 
+    _clean_pipe = Pipeline([
+        {"whitespace_normalization_mapper": {"text_key": "text"}},
+        {"clean_links_mapper": {"text_key": "text"}},
+        {"clean_email_mapper": {"text_key": "text"}},
+        {"text_length_filter": {"min_len": 20, "max_len": 10**9, "text_key": "text"}},
+        {"words_num_filter": {"min_num": 5, "max_num": 10**9, "text_key": "text"}},
+        {"alphanumeric_filter": {"min_ratio": 0.25, "text_key": "text"}},
+    ])
+
     @timed("pipeline_clean_filter")
     def _q1():
-        pipe = Pipeline([
-            {"whitespace_normalization_mapper": {"text_key": "text"}},
-            {"clean_links_mapper": {"text_key": "text"}},
-            {"clean_email_mapper": {"text_key": "text"}},
-            {"text_length_filter": {"min_len": 20, "max_len": 10**9, "text_key": "text"}},
-            {"words_num_filter": {"min_num": 5, "max_num": 10**9, "text_key": "text"}},
-            {"alphanumeric_filter": {"min_ratio": 0.25, "text_key": "text"}},
-        ])
-        pipe.apply(docs).agg({"doc_id": "count"}).collect()
+        _clean_pipe.apply(docs).agg({"doc_id": "count"}).collect()
+
+    # warm re-run of the same query: the headline number above is the
+    # session's FIRST job and carries JVM/codegen/parquet-listing
+    # warmup; the warm figure is the steady per-pass cost a long
+    # pipeline run actually pays (reported as an extra key, not part
+    # of the suite wall time)
+    _t0w = time.time()
+    _clean_pipe.apply(docs).agg({"doc_id": "count"}).collect()
+    extra["pipeline_clean_filter_warm"] = round(time.time() - _t0w, 3)
 
     @timed("dedup_exact")
     def _q2():

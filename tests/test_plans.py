@@ -338,3 +338,38 @@ def test_filter_run_fusion_flag_mode_matches(spark):
     seq = Pipeline(steps).apply(docs)  # drop mode = ground truth keeps
     kept = {r["doc_id"] for r in seq.select("doc_id").collect()}
     assert {k for k, v in got.items() if v} == kept
+
+
+def test_filter_run_fusion_respects_text_key_boundaries(spark):
+    """Fusion groups only CONSECUTIVE filters on the SAME text column:
+    an interleaved different-key filter or a non-fusable (pandas-UDF)
+    filter must break the run, and the output must still equal the
+    sequential application."""
+    from data_juicer_spark.pipeline import Pipeline, _FusedFilterRun
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .withColumn("text2", F.col("text"))
+    steps = [
+        {"text_length_filter": {"min_len": 50, "text_key": "text"}},
+        {"words_num_filter": {"min_num": 5, "text_key": "text"}},
+        # different key -> breaks the run
+        {"text_length_filter": {"min_len": 50, "text_key": "text2"}},
+        # pandas-UDF stat -> not fusable
+        {"character_repetition_filter": {"rep_len": 10, "max_ratio": 0.9,
+                                         "text_key": "text"}},
+        {"alphanumeric_filter": {"min_ratio": 0.25, "text_key": "text"}},
+    ]
+    pipe = Pipeline(steps)
+    fused_ops = Pipeline._fuse_filter_runs(pipe.ops)
+    kinds = [type(o).__name__ for o in fused_ops]
+    # [fused(text_len+words_num), text_len(text2), char_rep, alnum]
+    assert kinds[0] == "_FusedFilterRun" and len(fused_ops) == 4
+    assert isinstance(fused_ops[0], _FusedFilterRun)
+    assert fused_ops[0].ops[0].text_key == "text"
+
+    got = sorted(r["doc_id"] for r in pipe.apply(docs).collect())
+    seq = docs
+    for op in pipe.ops:
+        seq = op.apply(seq)
+    want = sorted(r["doc_id"] for r in seq.collect())
+    assert got == want and len(got) > 0

@@ -54,6 +54,15 @@ def get_spark(
         # Skew-join splitting stays on — that one is shape-based.
         .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # List up to 512 path roots on the driver instead of launching
+        # parallel-listing JOBS (default threshold 32): the MOR lake's
+        # bucket-pruned reads pass O(num_buckets) dirs per delta, and
+        # the per-job scheduling overhead dominated delta resolution at
+        # small scale (measured 5.8s -> 0.9s on the sf0.1 fold). Above
+        # 512 roots (genuinely large tables / object stores) Spark's
+        # distributed listing takes over again.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+                "512")
         # v2 committer: task-side renames, no serial driver commit loop
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -373,3 +373,28 @@ def test_filter_run_fusion_respects_text_key_boundaries(spark):
         seq = op.apply(seq)
     want = sorted(r["doc_id"] for r in seq.collect())
     assert got == want and len(got) > 0
+
+
+def test_filter_run_fusion_duplicate_stat_keys(spark):
+    """Two same-kind filters in one run (e.g. words_num 'space' then
+    'regex_bpe' — same stat_key, different exprs): the fused output
+    must match sequential application exactly — BOTH keep conditions
+    applied against their OWN stat, and the stats struct carrying the
+    LAST op's value (merge_stats overwrite semantics)."""
+    from data_juicer_spark.pipeline import Pipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    steps = [
+        {"words_num_filter": {"min_num": 5, "text_key": "text"}},
+        {"words_num_filter": {"min_num": 10, "max_num": 120,
+                              "tokenization": "regex_bpe",
+                              "text_key": "text"}},
+    ]
+    pipe = Pipeline(steps)
+    fused = pipe.apply(docs)
+    seq = docs
+    for op in pipe.ops:
+        seq = op.apply(seq)
+    a = {(r["doc_id"], r["stats"]["num_words"]) for r in fused.collect()}
+    b = {(r["doc_id"], r["stats"]["num_words"]) for r in seq.collect()}
+    assert a == b and len(a) > 0

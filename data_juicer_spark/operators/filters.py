@@ -77,6 +77,11 @@ class _RangeFilter(Filter):
         measured 11x slower on a 3-word-filter run at sf0.1."""
         return None
 
+    def stat_expr_on_lines(self, col: Column, ls: Column):
+        """Stat over (text, SHARED lines array) — the line-shape
+        analogue of stat_expr_on_refined; None when not line-based."""
+        return None
+
     def keep_on_refined(self, ws: Column):
         e = self.stat_expr_on_refined(ws)
         if e is None:
@@ -196,6 +201,10 @@ class AverageLineLengthFilter(_RangeFilter):
     def stat_expr_on(self, col):
         return T.avg_line_length(col)
 
+    def stat_expr_on_lines(self, col, ls):
+        return F.when(F.length(col) == 0, F.lit(0.0)).otherwise(
+            F.length(col) / F.size(ls))
+
 
 @OPERATORS.register("maximum_line_length_filter")
 class MaximumLineLengthFilter(_RangeFilter):
@@ -208,6 +217,11 @@ class MaximumLineLengthFilter(_RangeFilter):
 
     def stat_expr_on(self, col):
         return T.max_line_length(col).cast("long")
+
+    def stat_expr_on_lines(self, col, ls):
+        return F.coalesce(
+            F.array_max(F.transform(ls, lambda x: F.length(x))),
+            F.lit(0)).cast("long")
 
 
 @OPERATORS.register("special_characters_filter")

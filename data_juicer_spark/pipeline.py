@@ -53,54 +53,67 @@ class _FusedFilterRun:
         self.name = "fused(" + "+".join(op.name for op in ops) + ")"
 
     def _keep(self):
-        """Fused predicate. When any op in the run can express its stat
-        over a refined-words array, the lambda binds a struct of (raw
-        text, ONE shared refined array): word filters derive their
-        stats from the shared array instead of re-splitting/re-stripping
-        the text per op — re-deriving refined words from the text
-        lambda variable inside the interpreted HOF predicate measured
-        11x slower on a words_num+stopwords+flagged run at sf0.1."""
-        from data_juicer_spark.functions.text import refined_words
+        """Fused predicate via layered nested-HOF binding, innermost to
+        outermost: text -> shared refined-words array -> shared lines
+        array -> a struct of every op's STAT VALUE -> the conjunction of
+        range checks over the bound stats.
+
+        Each binding level exists so the interpreted HOF predicate
+        evaluates every expensive expression exactly once per row:
+        - the text binding stops Catalyst re-inlining an upstream
+          mapper chain per reference (plan-gated: one chain copy);
+        - the refined/lines bindings stop each word/line filter from
+          re-splitting the text per stat (re-deriving refined words
+          per op measured 11x slower at sf0.1);
+        - the stat-value binding stops keep_between from evaluating a
+          stat twice when both bounds are set (its (e>=lo)&(e<=hi)
+          references e twice).
+        Bindings are only added when an op in the run needs them."""
+        from data_juicer_spark.functions.text import lines, refined_words
 
         tcol = F.col(self.text_key)
-        probe = F.array().cast("array<string>")
-        any_words = any(
-            getattr(op, "keep_on_refined", None) is not None
-            and op.keep_on_refined(probe) is not None
-            for op in self.ops)
+        sprobe = F.array().cast("array<string>")
+        kinds = []
+        for op in self.ops:
+            kind = "text"
+            if getattr(op, "stat_expr_on_refined", None) is not None \
+                    and op.stat_expr_on_refined(sprobe) is not None:
+                kind = "refined"
+            elif getattr(op, "stat_expr_on_lines", None) is not None \
+                    and op.stat_expr_on_lines(F.lit(""), sprobe) is not None:
+                kind = "lines"
+            kinds.append(kind)
+        need_ws = "refined" in kinds
+        need_ls = "lines" in kinds
 
-        if not any_words:
-            def conj(t):
-                cond = None
-                for op in self.ops:
-                    k = op.keep_on(t)
-                    cond = k if cond is None else (cond & k)
-                return cond
+        def bound_struct(t):
+            fields = [t.alias("t")]
+            if need_ws:
+                fields.append(refined_words(t).alias("ws"))
+            if need_ls:
+                fields.append(lines(t).alias("ls"))
+            return F.struct(*fields)
 
-            return F.exists(F.array(tcol), conj)
+        def cond(s):
+            c = None
+            for op, kind in zip(self.ops, kinds):
+                if kind == "refined":
+                    e = op.stat_expr_on_refined(s["ws"])
+                elif kind == "lines":
+                    e = op.stat_expr_on_lines(s["t"], s["ls"])
+                else:
+                    e = op.stat_expr_on(s["t"])
+                k = op.keep_between(e, op.min_val, op.max_val)
+                c = k if c is None else (c & k)
+            return c
 
-        def conj(s):
-            cond = None
-            for op in self.ops:
-                k = None
-                if getattr(op, "keep_on_refined", None) is not None:
-                    k = op.keep_on_refined(s["ws"])
-                if k is None:
-                    k = op.keep_on(s["t"])
-                cond = k if cond is None else (cond & k)
-            return cond
-
-        # nested binding: bind the (possibly expensive) text expression
-        # to `t` FIRST, then derive the shared refined array from the
-        # bound variable — a struct built directly in the array-argument
-        # position would reference the text expression twice (once for
-        # t, once inside refined_words), re-evaluating an upstream
-        # mapper chain per field (plan-gated: one chain copy)
-        bound = F.transform(
-            F.array(tcol),
-            lambda t: F.struct(t.alias("t"),
-                               refined_words(t).alias("ws")))
-        return F.exists(bound, conj)
+        # conjunct short-circuiting is kept deliberately: binding the
+        # stat VALUES instead (a second struct layer) avoids
+        # keep_between's double reference but computes every stat for
+        # every row — measured a net loss on word-filter runs where an
+        # early cheap condition prunes most evaluation
+        return F.exists(
+            F.transform(F.array(tcol), lambda t: bound_struct(t)), cond)
 
     def _all_stats(self, df):
         exprs = {}

@@ -398,3 +398,27 @@ def test_filter_run_fusion_duplicate_stat_keys(spark):
     a = {(r["doc_id"], r["stats"]["num_words"]) for r in fused.collect()}
     b = {(r["doc_id"], r["stats"]["num_words"]) for r in seq.collect()}
     assert a == b and len(a) > 0
+
+
+def test_filter_run_fusion_line_filters_match_sequential(spark):
+    """Line-filter fusion (shared lines array) must reproduce the
+    sequential rows and stats exactly, incl. mixed word+line runs."""
+    from data_juicer_spark.pipeline import Pipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    steps = [
+        {"maximum_line_length_filter": {"min_len": 1, "max_len": 2000,
+                                        "text_key": "text"}},
+        {"average_line_length_filter": {"min_len": 1, "max_len": 500,
+                                        "text_key": "text"}},
+        {"words_num_filter": {"min_num": 3, "text_key": "text"}},
+        {"alphanumeric_filter": {"min_ratio": 0.25, "text_key": "text"}},
+    ]
+    pipe = Pipeline(steps)
+    fused = pipe.apply(docs)
+    seq = docs
+    for op in pipe.ops:
+        seq = op.apply(seq)
+    a = {r["doc_id"]: r["stats"] for r in fused.collect()}
+    b = {r["doc_id"]: r["stats"] for r in seq.collect()}
+    assert a == b and len(a) > 0

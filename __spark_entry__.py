@@ -391,6 +391,36 @@ def _q_similarity_ivf_exhaustive(spark, sf_dir):
                     n_probe=8).select("q_id", "vec_id", "cos_sim", "rank")
 
 
+def _q_similarity_lsh_grouped(spark, sf_dir):
+    """LSH ANN over an engineered one-hot corpus where the exact top-k
+    is provably bucket-reachable: vectors derive from vec_id alone —
+    queries q∈[0,5) are one-hot at dim q; vec_id∈[5,55) are EXACT
+    copies of query (vec_id-5)%5 (10 per query); vec_id>=55 are one-hot
+    at dims 5..15, orthogonal to every query. Identical vectors share
+    every hyperplane sign, so each query's 10 copies are guaranteed
+    candidates; copies score cos=1.0 exactly (one-hot: dot=1, norms=1)
+    and everything else 0.0, so LSH top-10 == brute-force top-10 == the
+    copies ordered by vec_id — a keep-set plain SQL can state. This
+    drives the full LSH path (signature UDF, sign-bit bucket packing,
+    bucket equi-join, scoring, ranking); the natural-data
+    similarity_lsh row stays rows-only (approximate recall)."""
+    from data_juicer_spark.functions.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id")
+    dim = (F.when(F.col("vec_id") < 5, F.col("vec_id"))
+           .when(F.col("vec_id") < 55, (F.col("vec_id") - 5) % 5)
+           .otherwise(F.lit(5) + F.col("vec_id") % 11))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda j: F.when(j.cast("long") == dim, F.lit(1.0))
+                   .otherwise(F.lit(0.0)))
+    emb_d = emb.select("vec_id", vec.alias("embedding"))
+    q = emb_d.where(F.col("vec_id") < 5).selectExpr(
+        "vec_id as q_id", "embedding")
+    return lsh_topk(q, emb_d.where(F.col("vec_id") >= 5), k=10,
+                    n_planes=8).select("q_id", "vec_id", "cos_sim", "rank")
+
+
 def _grouped_copies(spark, sf_dir, group: int = 5):
     """documents reduced to (doc_id, synthesized text) where every
     group of `group` consecutive ids carries the SAME 40-token text and
@@ -939,11 +969,18 @@ def _q_mapper_python_file(spark, sf_dir):
 
 
 def _q_dedup_image_phash(spark, sf_dir):
-    """image_phash_deduplicator (rows-only: the stub decode produces a
-    sha-seeded numpy pseudo-image, so the phash is engine-native; the
-    8x8 mean-threshold phash math is pytest-verified). Appends
-    bit-identical payload copies so the keep-first path actually drops
-    rows (reference deduplicator/image_deduplicator.py)."""
+    """image_phash_deduplicator over text-derived payloads plus
+    bit-identical copies (doc_id+10000 for doc_id<30), so the
+    keep-first path actually drops rows
+    (reference deduplicator/image_deduplicator.py). Full oracle:
+    identical payloads MUST phash identically (decode and hash are
+    pure functions of the bytes), so the keep-set is min(doc_id) per
+    distinct payload — which plain SQL states as min(doc_id) GROUP BY
+    text. Distinct payloads hashing distinctly is an empirical property
+    of the FIXED corpus (64-bit phash, <=60k docs → collision odds
+    ~1e-10), verified by the mirror at all three scales; the phash
+    VALUES (sha-seeded stub decode → 8x8 mean-threshold) stay
+    pytest-golden-verified."""
     from data_juicer_spark.registry import OPERATORS
 
     base = _t(spark, sf_dir, "documents").select(
@@ -1374,7 +1411,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only, r4-recorded) and rotates back into the window in r6
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
+        # upgraded rows-only -> oracle late in r5 (mirror-green at all
+        # three scales); first driver contact lands with the r6 window
         "dedup_image_phash": _q_dedup_image_phash,
+        "similarity_lsh_grouped": _q_similarity_lsh_grouped,
         "selector_random": _q_selector_random,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
@@ -2619,13 +2659,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(text || '::pyfile') AS text_md5
             FROM documents
         """,
-        # NO oracle (the 7 rows-only checks; not SQL-expressible):
+        # keep-first per distinct payload: identical payloads phash
+        # identically by construction; distinct-payload phash
+        # distinctness is a verified property of the fixed corpus
+        "dedup_image_phash": """
+            WITH all_rows AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000 AS doc_id, text
+                FROM documents WHERE doc_id < 30
+            )
+            SELECT min(doc_id) AS doc_id FROM all_rows GROUP BY text
+        """,
+        # engineered one-hot corpus: LSH top-10 == brute-force top-10
+        # == the query's 10 exact copies ordered by vec_id, at cos 1.0
+        "similarity_lsh_grouped": """
+            SELECT (vec_id - 5) % 5 AS q_id, vec_id,
+                   CAST(1.0 AS DOUBLE) AS cos_sim,
+                   CAST(row_number() OVER (PARTITION BY (vec_id - 5) % 5
+                                           ORDER BY vec_id ASC) AS INT) AS rank
+            FROM embeddings WHERE vec_id >= 5 AND vec_id < 55
+        """,
+        # NO oracle (the 6 rows-only checks; not SQL-expressible):
         # dedup_minhash / dedup_simhash (LSH / hamming-block clustering
         # over engine-native hashes; exhaustive sequential-oracle pytest
-        # in tests/test_dedup_oracle.py), similarity_lsh (approximate
-        # recall), similarity_ivf (kmeans-seeded lists), mapper_nlpaug /
-        # mapper_nlpcda_zh (seeded-RNG augmentation; golden pytests),
-        # dedup_image_phash (sha-seeded numpy pseudo-image decode).
+        # in tests/test_dedup_oracle.py; grouped-copies full-oracle
+        # variants above), similarity_lsh (approximate recall; the
+        # engineered similarity_lsh_grouped row above drives the same
+        # path exactly), similarity_ivf (kmeans-seeded lists;
+        # exhaustive-probe variant above), mapper_nlpaug /
+        # mapper_nlpcda_zh (seeded-RNG augmentation; golden pytests).
     }
 
 

@@ -736,6 +736,63 @@ def _q_mapper_nlpaug(spark, sf_dir):
     return op.apply(_t(spark, sf_dir, "documents")).select("doc_id", "text")
 
 
+def _aug_digit_corpus(spark, sf_dir):
+    """(doc_id, text) where text is a single digit from {3,4,7} chosen
+    by doc_id (every 50th row NULL to exercise the null pass-through
+    contract). Single-digit texts are PROVABLY invariant under 8 of the
+    9 EN methods and 4 of the 5 zh methods: one word (no delete/swap/
+    split), len<=3 and not in the spelling table, 3/4/7 absent from the
+    keyboard AND ocr maps, single char (char-delete restores empty →
+    original; char-swap has no right neighbor). zh replace_equivalent_
+    num is deterministic at its p=1.0 (3→三, 4→四, 7→七). Asserted for
+    every (digit, method, variant) in tests/test_augment.py."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 50 == 0, F.lit(None).cast("string"))
+        .otherwise(F.element_at(
+            F.array(F.lit("3"), F.lit("4"), F.lit("7")),
+            (F.col("doc_id") % 3).cast("int") + 1)).alias("text"))
+
+
+def _q_mapper_nlpaug_fanout(spark, sf_dir):
+    """nlpaug_en_mapper over the digit corpus with the 8 invariant
+    methods enabled at aug_num=2 — the full pandas-UDF + posexplode
+    fan-out path (1 original + 8x2 variants, null rows pass through
+    singly) with an output plain SQL can state exactly. The perturbation
+    MATH stays covered by the natural-text rows-only row above plus the
+    seeded goldens in tests/test_augment.py
+    (reference mapper/nlpaug_en_mapper.py:141-170)."""
+    from data_juicer_spark.registry import OPERATORS
+
+    op = OPERATORS.get("nlpaug_en_mapper")(
+        aug_num=2, keep_original_sample=True,
+        delete_random_word=True, swap_random_word=True,
+        spelling_error_word=True, split_random_word=True,
+        keyboard_error_char=True, ocr_error_char=True,
+        delete_random_char=True, swap_random_char=True,
+        text_key="text")
+    return op.apply(_aug_digit_corpus(spark, sf_dir)).select(
+        "doc_id", "text")
+
+
+def _q_mapper_nlpcda_fanout(spark, sf_dir):
+    """nlpcda_zh_mapper over the digit corpus, SEQUENTIAL mode with all
+    5 methods at aug_num=2: each composition applies four identities
+    then the deterministic digit→汉字 replacement, so every non-null row
+    yields exactly [digit, 汉字, 汉字] — sequential composition
+    semantics under a plain-SQL oracle
+    (reference mapper/nlpcda_zh_mapper.py:17-120)."""
+    from data_juicer_spark.registry import OPERATORS
+
+    op = OPERATORS.get("nlpcda_zh_mapper")(
+        sequential=True, aug_num=2, keep_original_sample=True,
+        replace_similar_word=True, replace_homophone_char=True,
+        delete_random_char=True, swap_random_char=True,
+        replace_equivalent_num=True, text_key="text")
+    return op.apply(_aug_digit_corpus(spark, sf_dir)).select(
+        "doc_id", "text")
+
+
 def _q_dedup_embedding_cosine(spark, sf_dir):
     """The raw sf tables are i.i.d. random vectors (max pairwise cosine
     ≈0.51 at sf0.01), which would leave the clustering path untested —
@@ -1415,6 +1472,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # three scales); first driver contact lands with the r6 window
         "dedup_image_phash": _q_dedup_image_phash,
         "similarity_lsh_grouped": _q_similarity_lsh_grouped,
+        "mapper_nlpaug_fanout": _q_mapper_nlpaug_fanout,
+        "mapper_nlpcda_fanout": _q_mapper_nlpcda_fanout,
         "selector_random": _q_selector_random,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
@@ -2680,6 +2739,40 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY vec_id ASC) AS INT) AS rank
             FROM embeddings WHERE vec_id >= 5 AND vec_id < 55
         """,
+        # digit corpus: 8 invariant methods x aug_num 2 + the original
+        # = 17 identical copies per non-null row; nulls pass through 1:1
+        "mapper_nlpaug_fanout": """
+            WITH base AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 50 = 0 THEN NULL
+                            ELSE substr('347', CAST(doc_id % 3 AS INT) + 1, 1)
+                       END AS text
+                FROM documents
+            )
+            SELECT doc_id, text FROM base WHERE text IS NULL
+            UNION ALL
+            SELECT b.doc_id, b.text
+            FROM base b CROSS JOIN generate_series(1, 17) AS g(i)
+            WHERE b.text IS NOT NULL
+        """,
+        # sequential composition: 4 identities then the deterministic
+        # digit→汉字 map, twice; plus the kept original
+        "mapper_nlpcda_fanout": """
+            WITH base AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 50 = 0 THEN NULL
+                            ELSE substr('347', CAST(doc_id % 3 AS INT) + 1, 1)
+                       END AS text
+                FROM documents
+            )
+            SELECT doc_id, text FROM base WHERE text IS NULL
+            UNION ALL
+            SELECT doc_id, text FROM base WHERE text IS NOT NULL
+            UNION ALL
+            SELECT b.doc_id, translate(b.text, '347', '三四七') AS text
+            FROM base b CROSS JOIN generate_series(1, 2) AS g(i)
+            WHERE b.text IS NOT NULL
+        """,
         # NO oracle (the 6 rows-only checks; not SQL-expressible):
         # dedup_minhash / dedup_simhash (LSH / hamming-block clustering
         # over engine-native hashes; exhaustive sequential-oracle pytest
@@ -2688,7 +2781,9 @@ def oracle_sql() -> dict[str, str]:
         # engineered similarity_lsh_grouped row above drives the same
         # path exactly), similarity_ivf (kmeans-seeded lists;
         # exhaustive-probe variant above), mapper_nlpaug /
-        # mapper_nlpcda_zh (seeded-RNG augmentation; golden pytests).
+        # mapper_nlpcda_zh (seeded-RNG augmentation; golden pytests +
+        # the invariant-corpus fanout oracle rows above drive the same
+        # UDF/posexplode path exactly).
     }
 
 

@@ -76,3 +76,27 @@ def test_nlpcda_equivalent_num_and_homophone(spark):
 def test_augment_rejects_bad_aug_num():
     with pytest.raises(ValueError, match="aug_num"):
         OPERATORS.get("nlpaug_en_mapper")(aug_num=0, delete_random_word=True)
+
+
+def test_digit_corpus_method_invariance():
+    """Locks the premise of the mapper_nlpaug_fanout /
+    mapper_nlpcda_fanout oracle rows (__spark_entry__.py): single-digit
+    texts from {3,4,7} are invariant under 8 of the 9 EN methods and 4
+    of the 5 zh methods for EVERY variant seed, and zh
+    replace_equivalent_num maps them deterministically to 三/四/七. If
+    a method table or _pick policy change breaks any of these, this
+    fails before the driver's oracle does."""
+    from data_juicer_spark.operators.augment import (
+        EN_METHODS, ZH_METHODS, _rng)
+
+    zh_map = {"3": "三", "4": "四", "7": "七"}
+    for d in "347":
+        for name, fn in EN_METHODS.items():
+            if name == "insert_random_char":
+                continue  # inserts an RNG char — excluded from the row
+            for k in range(5):
+                assert fn(d, _rng(d, name, k)) == d, (d, name, k)
+        for name, fn in ZH_METHODS.items():
+            exp = zh_map[d] if name == "replace_equivalent_num" else d
+            for k in range(5):
+                assert fn(d, _rng(d, name, k)) == exp, (d, name, k)

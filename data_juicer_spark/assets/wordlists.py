@@ -45,6 +45,18 @@ STOPWORDS = {
         "against", "among", "within", "without", "upon", "toward",
         "towards", "across", "behind", "beyond", "near", "around",
         "along", "despite", "per", "via", "versus", "except",
+        # contractions — standard members of English stopword lists;
+        # their presence is what reproduces the reference's own
+        # test_stopwords_filter.py en_case keep/drop decisions (row 2's
+        # ratio crosses min_ratio=0.3 only if "it's" counts)
+        "it's", "that's", "there's", "here's", "what's", "who's",
+        "let's", "don't", "doesn't", "didn't", "isn't", "aren't",
+        "wasn't", "weren't", "won't", "wouldn't", "can't", "cannot",
+        "couldn't", "shouldn't", "mustn't", "haven't", "hasn't",
+        "hadn't", "i'm", "i've", "i'll", "i'd", "you're", "you've",
+        "you'll", "you'd", "he's", "he'll", "he'd", "she's", "she'll",
+        "she'd", "we're", "we've", "we'll", "we'd", "they're",
+        "they've", "they'll", "they'd",
     ],
     "es": [
         "el", "la", "los", "las", "un", "una", "unos", "unas", "y",

@@ -180,3 +180,40 @@ def test_specified_field_filter_reference_goldens(spark):
              target_value=["pdf", "txt", "json"])
     # row 4 has 'docx' → not all elements are targets → dropped
     assert sorted(r["id"] for r in op2.apply(df2).collect()) == [0, 3]
+
+
+def test_stopwords_filter_reference_en_case(spark):
+    """Ports tests/ops/filter/test_stopwords_filter.py:test_en_case
+    (lang='en', min_ratio=0.3). Keep/drop hinges on the EN list
+    containing contractions: row 2 has exactly 4/12 refined words in
+    the list ("is", "and", "it's", "a" → 0.333 ≥ 0.3) — the list
+    enrichment that made this pass is wordlists.py's contractions
+    block. zh_case needs tokenization=True (sentencepiece model dep,
+    loudly guarded) and is not portable."""
+    rows = ["Today is Sunday and it's a happy day!",
+            "Today is Sund Sund Sund Sund Sunda and it's a happy day!",
+            "a v s e c s f e f g a qkc",
+            "，。、„”“«»１」「《》´∶：？！（）；–—．～’…━〈〉【】％►",
+            "Do you need a cup of coffee?"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(rows)],
+                               "i long, text string")
+    op = OPERATORS.get("stopwords_filter")(lang="en", min_ratio=0.3)
+    kept = sorted(r["i"] for r in op.apply(df).collect())
+    assert kept == [0, 1, 4]
+
+
+def test_flagged_words_filter_reference_en_case(spark):
+    """Ports tests/ops/filter/test_flagged_words_filter.py:test_en_case
+    (lang='en', max_ratio=0.045): rows with any flagged word exceed
+    4.5% and drop; punctuation-only, clean-English and emoji rows
+    stay. zh_case needs tokenization=True (model dep)."""
+    rows = ["Today is anal cumshot day",
+            "Fuck you doggystyle!",
+            "，。、„”“«»１」「《》´∶：？！（）；–—．～’…━〈〉【】％►",
+            "Do you need a cup of coffee?",
+            "emoji表情测试下😊，😸31231\n"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(rows)],
+                               "i long, text string")
+    op = OPERATORS.get("flagged_words_filter")(lang="en", max_ratio=0.045)
+    kept = sorted(r["i"] for r in op.apply(df).collect())
+    assert kept == [2, 3, 4]

@@ -634,6 +634,236 @@ def _q_cdc_changelog(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_cdc_schema_evolution(spark, sf_dir):
+    """Mid-stream schema evolution through the full CDC replay path:
+    epochs 0-1 arrive on the original narrow schema (lang dropped),
+    epochs 2-3 arrive widened with lang plus a derived n_lines stats
+    column — the lake's add-only schema evolution (lake/table.py:389
+    manifest-schema carry, null-filling manifest-schema reads) must
+    backfill NULLs for every key last touched before the widening
+    without rewriting old files (reference: dynamic column adds in
+    data_juicer/core/data.py's add_column path). Oracle: the binlog is
+    a pure function of seq, and a key's final lang/n_lines are non-NULL
+    iff its globally-last surviving event landed in epoch >= 2."""
+    import tempfile
+    import shutil
+
+    from data_juicer_spark.cdc import CdcReplayer, generate_events
+    from data_juicer_spark.lake import SnapshotTable
+
+    root = tempfile.mkdtemp(prefix="q_evolve_")
+    try:
+        events = generate_events(spark, 2000, batch_size=500, n_repos=10,
+                                 n_paths=60, num_partitions=8)
+        table = SnapshotTable(spark, root, ["repo", "path"], num_buckets=8,
+                              strategy="mor", compact_every=3)
+        rep = CdcReplayer(table)
+        rep.replay(events.drop("lang"), start_epoch=0, end_epoch=1)
+        widened = events.withColumn(
+            "n_lines", F.size(F.split(F.col("content"), "\n")).cast("long"))
+        rep.replay(widened, start_epoch=2, end_epoch=3)
+        out = table.read().select(
+            "repo", "path", "lang",
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.sha2("content", 256).alias("content_sha256"))
+        out = out.persist()
+        out.count()  # materialize before the temp dir vanishes
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _q_cdc_resume_fence(spark, sf_dir):
+    """Checkpoint-resume + epoch-fence idempotence through the graded
+    path: replayer A is 'interrupted' after epoch 1; a FRESH replayer B
+    resumes from the table's committed epoch (the checkpoint IS the
+    table state — cdc/replay.py:184-187); a third replayer re-delivers
+    the ENTIRE log and every epoch must no-op against the fence
+    (lake/table.py epoch fence, the exactly-once contract of the north
+    rule). The re-delivery skip count rides the output so the fence
+    behavior itself is hashed. Oracle: global last-wins over the
+    seq-regenerated binlog — resume and re-delivery must be invisible
+    in the final state; skips are the 4 fenced epochs."""
+    import tempfile
+    import shutil
+
+    from data_juicer_spark.cdc import CdcReplayer, generate_events
+    from data_juicer_spark.lake import SnapshotTable
+
+    root = tempfile.mkdtemp(prefix="q_resume_")
+    try:
+        events = generate_events(spark, 2000, batch_size=500, n_repos=10,
+                                 n_paths=60, num_partitions=8)
+        table = SnapshotTable(spark, root, ["repo", "path"], num_buckets=8,
+                              strategy="mor", compact_every=3)
+        CdcReplayer(table).replay(events, end_epoch=1)  # interrupted
+        CdcReplayer(table).replay(events)  # fresh replayer resumes at 2
+        # force re-delivery of the WHOLE log (default start would resume
+        # past the end): every epoch must hit the fence and no-op
+        redelivered = CdcReplayer(table).replay(events, start_epoch=0)
+        n_skips = sum(1 for s in redelivered if s.skipped)
+        out = table.read().select(
+            "repo", "path",
+            F.sha2("content", 256).alias("content_sha256"),
+            F.lit(n_skips).cast("long").alias("redelivery_skips"))
+        out = out.persist()
+        out.count()  # materialize before the temp dir vanishes
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _q_cdc_lineage_stats(spark, sf_dir):
+    """Per-epoch lineage/metrics of the pipelined replay (the north
+    rule's 'per-partition lineage + metrics'; reference analogue:
+    data_juicer/core/tracer.py + monitor.py op stats): events = compacted
+    keys per batch, upserts = keys whose last event survives the
+    cleaning pipeline, deletes = everything demoted to delete (true
+    deletes + quality-filtered keys), filtered_out = the demotions.
+    Counts ride the merge job via Observation (cdc/replay.py:127-142) —
+    no extra action. Every count is independently re-derived SQL-side
+    from the seq-regenerated binlog."""
+    import tempfile
+    import shutil
+
+    from data_juicer_spark.cdc import CdcReplayer, generate_events
+    from data_juicer_spark.lake import SnapshotTable
+    from data_juicer_spark.pipeline import Pipeline
+
+    root = tempfile.mkdtemp(prefix="q_lineage_")
+    try:
+        events = generate_events(spark, 2000, batch_size=500, n_repos=10,
+                                 n_paths=60, num_partitions=8)
+        pipe = Pipeline([
+            {"clean_copyright_mapper": {"text_key": "content"}},
+            {"text_length_filter": {"min_len": 20, "max_len": 10**9,
+                                    "text_key": "content"}},
+        ])
+        table = SnapshotTable(spark, root, ["repo", "path"], num_buckets=8,
+                              strategy="mor", compact_every=3)
+        rep = CdcReplayer(table, pipeline=pipe)
+        rep.replay(events)
+        rows = [(int(s.epoch), int(s.events), int(s.upserts),
+                 int(s.deletes), int(s.filtered_out))
+                for s in rep.lineage]
+        return spark.createDataFrame(
+            rows, "epoch long, events long, upserts long, "
+                  "deletes long, filtered_out long")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _q_cdc_stream_replay(spark, sf_dir):
+    """Structured-Streaming binlog tail (the north rule's WAL-tail →
+    lake-upsert front end, streaming/stream_replay.py): the 4 epoch
+    segments are drained by a file-source stream (availableNow,
+    maxFilesPerTrigger=1 → batch_id == epoch) through foreachBatch into
+    the SAME epoch transaction as batch replay; streaming checkpoint +
+    epoch fence = exactly-once. Segment mtimes are set explicitly
+    ascending so the file source's modTime ordering equals binlog order
+    on any host. Oracle: global last-wins over the seq-regenerated
+    binlog — the streaming path must land the identical final state."""
+    import glob
+    import os
+    import tempfile
+    import shutil
+
+    from data_juicer_spark.cdc import CdcReplayer, generate_events
+    from data_juicer_spark.lake import SnapshotTable
+    from data_juicer_spark.streaming import StreamingReplayer
+
+    root = tempfile.mkdtemp(prefix="q_stream_")
+    try:
+        events = generate_events(spark, 2000, batch_size=500, n_repos=10,
+                                 n_paths=60, num_partitions=8)
+        log = f"{root}/log"
+        base = 1_600_000_000  # fixed epoch-seconds base for mtime ordering
+        seen = set()
+        for ep in range(4):
+            events.where(F.col("epoch") == ep).coalesce(1) \
+                .write.mode("append").parquet(log)
+            for f in glob.glob(f"{log}/part-*"):
+                if f not in seen:
+                    os.utime(f, (base + ep, base + ep))
+                    seen.add(f)
+        table = SnapshotTable(spark, f"{root}/lake", ["repo", "path"],
+                              num_buckets=8, strategy="mor", compact_every=3)
+        sr = StreamingReplayer(CdcReplayer(table),
+                               checkpoint_dir=f"{root}/ckpt")
+        q = sr.start(sr.file_stream(spark, log, max_files_per_trigger=1),
+                     available_now=True)
+        q.awaitTermination(300)
+        out = table.read().select(
+            "repo", "path", F.sha2("content", 256).alias("content_sha256"))
+        out = out.persist()
+        out.count()  # materialize before the temp dir vanishes
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _q_cdc_salted_replay(spark, sf_dir):
+    """The hot-key salting path (cdc/replay.py:79-89 two-level reduce —
+    the north rule's 'salts hot repos to break skew in the upsert
+    shuffle') through the full pipelined replay: salting is a physical
+    rewrite of the compaction shuffle only, so the final lake state must
+    be IDENTICAL to the unsalted path — the same last-wins + pipeline
+    oracle as cdc_replay_lake re-derives it."""
+    import tempfile
+    import shutil
+
+    from data_juicer_spark.cdc import CdcReplayer, generate_events
+    from data_juicer_spark.lake import SnapshotTable
+    from data_juicer_spark.pipeline import Pipeline
+
+    root = tempfile.mkdtemp(prefix="q_salted_")
+    try:
+        events = generate_events(spark, 2000, batch_size=500, n_repos=10,
+                                 n_paths=60, num_partitions=8)
+        pipe = Pipeline([
+            {"clean_copyright_mapper": {"text_key": "content"}},
+            {"text_length_filter": {"min_len": 20, "max_len": 10**9,
+                                    "text_key": "content"}},
+        ])
+        table = SnapshotTable(spark, root, ["repo", "path"], num_buckets=8,
+                              strategy="mor", compact_every=3)
+        CdcReplayer(table, pipeline=pipe, salt_buckets=8).replay(events)
+        out = table.read().select(
+            "repo", "path", F.sha2("content", 256).alias("content_sha256"))
+        out = out.persist()
+        out.count()  # materialize before the temp dir vanishes
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _q_cdc_time_travel(spark, sf_dir):
+    """Snapshot time travel: after the full 4-epoch replay, read the
+    table AS OF epoch 1 (lake/table.py:256-276 — manifests + data files
+    are immutable, so the historical read is a free manifest lookup).
+    Oracle: last-wins restricted to events with epoch <= 1."""
+    import tempfile
+    import shutil
+
+    from data_juicer_spark.cdc import CdcReplayer, generate_events
+    from data_juicer_spark.lake import SnapshotTable
+
+    root = tempfile.mkdtemp(prefix="q_travel_")
+    try:
+        events = generate_events(spark, 2000, batch_size=500, n_repos=10,
+                                 n_paths=60, num_partitions=8)
+        table = SnapshotTable(spark, root, ["repo", "path"], num_buckets=8,
+                              strategy="mor", compact_every=3)
+        CdcReplayer(table).replay(events)
+        out = table.read(at_epoch=1).select(
+            "repo", "path", F.sha2("content", 256).alias("content_sha256"))
+        out = out.persist()
+        out.count()  # materialize before the temp dir vanishes
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_mapper_expand_macro(spark, sf_dir):
     """LaTeX macro expansion on a per-row discriminative payload: the
     docs corpus has zero backslashes (verified), so appending a known
@@ -1515,6 +1745,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh": _q_similarity_lsh,
         "similarity_ivf": _q_similarity_ivf,
         "mapper_nlpaug": _q_mapper_nlpaug,
+        # new full-oracle rows late in r5 (mirror-green locally); first
+        # driver contact lands with the r6 window
+        "cdc_schema_evolution": _q_cdc_schema_evolution,
+        "cdc_resume_fence": _q_cdc_resume_fence,
+        "cdc_lineage_stats": _q_cdc_lineage_stats,
+        "cdc_stream_replay": _q_cdc_stream_replay,
+        "cdc_salted_replay": _q_cdc_salted_replay,
+        "cdc_time_travel": _q_cdc_time_travel,
     }
 
 # ---------------------------------------------------------------------------
@@ -1650,6 +1888,15 @@ def _clean_html_sql(col: str) -> str:
     for src, dst in CleanHtmlMapper.ENTITIES:
         out = f"replace({out}, {_sql_str(src)}, {_sql_str(dst)})"
     return f"regexp_replace({out}, '^\\s+', '')"
+
+def _cdc_lang_case() -> str:
+    """DuckDB CASE mapping attrs.lang_id -> language name (the same
+    LANGS table the generator indexes, cdc/events.py:92)."""
+    from data_juicer_spark.cdc.events import LANGS
+
+    return ("CASE lang_id " + " ".join(
+        f"WHEN {k} THEN '{lg}'" for k, lg in enumerate(LANGS)) + " END")
+
 
 def _cdc_events_cte() -> str:
     """DuckDB re-derivation of the seeded CDC binlog (cdc/events.py):
@@ -2522,6 +2769,111 @@ def oracle_sql() -> dict[str, str]:
             FROM ost o FULL OUTER JOIN nst n
               ON o.repo = n.repo AND o.path = n.path
             WHERE o.seq IS NULL OR n.seq IS NULL OR o.seq <> n.seq
+        """,
+        # schema evolution: lang/n_lines were only present on epoch>=2
+        # events, so a key's final value is non-NULL iff its last
+        # surviving event landed after the widening
+        "cdc_schema_evolution": f"""
+            WITH {_cdc_events_cte()},
+            mx AS (SELECT repo, path, max(seq) AS mseq
+                   FROM ev GROUP BY repo, path),
+            last AS (
+              SELECT e.repo, e.path, e.op, e.epoch, e.content, a.lang_id
+              FROM ev e
+              JOIN attrs a ON e.seq = a.seq
+              JOIN mx ON e.repo = mx.repo AND e.path = mx.path
+                     AND e.seq = mx.mseq)
+            SELECT repo, path,
+                   CASE WHEN epoch >= 2 THEN {_cdc_lang_case()} END AS lang,
+                   CAST(CASE WHEN epoch >= 2
+                        THEN len(string_split(content, chr(10)))
+                        END AS BIGINT) AS n_lines,
+                   sha256(content) AS content_sha256
+            FROM last WHERE op <> 'D'
+        """,
+        # resume + fence: interrupt/resume/re-delivery must be invisible
+        # in the final state; the 4 re-delivered epochs all no-op
+        "cdc_resume_fence": f"""
+            WITH {_cdc_events_cte()},
+            mx AS (SELECT repo, path, max(seq) AS mseq
+                   FROM ev GROUP BY repo, path),
+            last AS (
+              SELECT e.repo, e.path, e.op, e.content
+              FROM ev e JOIN mx ON e.repo = mx.repo AND e.path = mx.path
+                               AND e.seq = mx.mseq)
+            SELECT repo, path, sha256(content) AS content_sha256,
+                   CAST(4 AS BIGINT) AS redelivery_skips
+            FROM last WHERE op <> 'D'
+        """,
+        # streaming tail must land the identical final state as batch
+        # replay: same global last-wins derivation
+        "cdc_stream_replay": f"""
+            WITH {_cdc_events_cte()},
+            mx AS (SELECT repo, path, max(seq) AS mseq
+                   FROM ev GROUP BY repo, path),
+            last AS (
+              SELECT e.repo, e.path, e.op, e.content
+              FROM ev e JOIN mx ON e.repo = mx.repo AND e.path = mx.path
+                               AND e.seq = mx.mseq)
+            SELECT repo, path, sha256(content) AS content_sha256
+            FROM last WHERE op <> 'D'
+        """,
+        # salting is a physical rewrite of the compaction shuffle only:
+        # identical final state as the unsalted pipelined replay
+        "cdc_salted_replay": f"""
+            WITH {_cdc_events_cte()},
+            mx AS (SELECT repo, path, max(seq) AS mseq
+                   FROM ev GROUP BY repo, path),
+            last AS (
+              SELECT e.repo, e.path, e.op, e.content_clean
+              FROM ev e JOIN mx ON e.repo = mx.repo AND e.path = mx.path
+                               AND e.seq = mx.mseq)
+            SELECT repo, path, sha256(content_clean) AS content_sha256
+            FROM last
+            WHERE op <> 'D'
+              AND length(content_clean) BETWEEN 20 AND 1000000000
+        """,
+        # time travel to epoch 1 == last-wins over events with epoch <= 1
+        "cdc_time_travel": f"""
+            WITH {_cdc_events_cte()},
+            mx AS (SELECT repo, path, max(seq) AS mseq
+                   FROM ev WHERE epoch <= 1 GROUP BY repo, path),
+            last AS (
+              SELECT e.repo, e.path, e.op, e.content
+              FROM ev e JOIN mx ON e.repo = mx.repo AND e.path = mx.path
+                               AND e.seq = mx.mseq)
+            SELECT repo, path, sha256(content) AS content_sha256
+            FROM last WHERE op <> 'D'
+        """,
+        # lineage: per-epoch counts of the pipelined replay — events =
+        # compacted keys, upserts = last event is a non-delete whose
+        # cleaned content passes the length gate, deletes = the rest
+        # (true deletes + filter demotions); every sum CAST to BIGINT
+        # (DuckDB sum() is HUGEINT — the sessionize lesson)
+        "cdc_lineage_stats": f"""
+            WITH {_cdc_events_cte()},
+            mx AS (SELECT epoch, repo, path, max(seq) AS mseq
+                   FROM ev GROUP BY epoch, repo, path),
+            last AS (
+              SELECT e.epoch, e.op, e.content_clean
+              FROM ev e JOIN mx ON e.epoch = mx.epoch
+                   AND e.repo = mx.repo AND e.path = mx.path
+                   AND e.seq = mx.mseq),
+            c AS (
+              SELECT epoch,
+                     count(*) AS events,
+                     sum(CASE WHEN op <> 'D' AND length(content_clean)
+                              BETWEEN 20 AND 1000000000
+                              THEN 1 ELSE 0 END) AS upserts,
+                     sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS true_dels
+              FROM last GROUP BY epoch)
+            SELECT CAST(epoch AS BIGINT) AS epoch,
+                   CAST(events AS BIGINT) AS events,
+                   CAST(upserts AS BIGINT) AS upserts,
+                   CAST(events - upserts AS BIGINT) AS deletes,
+                   CAST(events - upserts - true_dels AS BIGINT)
+                       AS filtered_out
+            FROM c
         """,
         "selector_random": """
             WITH keyed AS (

@@ -864,6 +864,69 @@ def _q_cdc_time_travel(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_source_tfrecord_roundtrip(spark, sf_dir):
+    """TFRecord source/sink round-trip through the hand-rolled
+    tf.train.Example wire codec (sources/tfrecord.py:103-340 — varints,
+    masked CRC framing, packed int64 / length-delimited bytes lists):
+    documents → Example shards → typed-column read-back must preserve
+    every id and byte (reference: data_juicer/format/tfrecord parity
+    surface). Oracle: identity + sha256 over the utf-8 text bytes."""
+    import tempfile
+    import shutil
+
+    from data_juicer_spark.sources.tfrecord import (
+        read_tfrecord_examples, write_tfrecord_examples)
+
+    root = tempfile.mkdtemp(prefix="q_tfrec_")
+    try:
+        docs = _t(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text")
+        write_tfrecord_examples(docs, root,
+                                feature_cols=["doc_id", "text"],
+                                num_shards=4)
+        back = read_tfrecord_examples(
+            spark, root, {"doc_id": "int64", "text": "bytes"})
+        out = back.select(
+            F.element_at("doc_id", 1).alias("doc_id"),
+            F.sha2(F.element_at("text", 1), 256).alias("text_sha256"))
+        out = out.persist()
+        out.count()  # materialize before the temp dir vanishes
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _q_source_webdataset_roundtrip(spark, sf_dir):
+    """Webdataset tar source/sink round-trip (sources/webdataset.py —
+    key.ext member naming, one tar per partition): documents → tar
+    shards → per-sample read-back must preserve every key and byte
+    (reference: tools/fmt converters' webdataset surface). Oracle:
+    identity + sha256 over the utf-8 text bytes."""
+    import tempfile
+    import shutil
+
+    from data_juicer_spark.sources.webdataset import (
+        read_webdataset, write_webdataset)
+
+    root = tempfile.mkdtemp(prefix="q_wds_")
+    try:
+        docs = _t(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("string").alias("sample_key"),
+            F.col("text").alias("txt")).repartition(4)
+        write_webdataset(docs, root, {"txt": "string"})
+        # pass the dir, not a glob: binaryFile's FileStreamSink metadata
+        # probe logs a scary-looking (benign) WARN stack on glob paths
+        back = read_webdataset(spark, root, {"txt": "string"})
+        out = back.select(
+            F.col("sample_key").cast("long").alias("doc_id"),
+            F.sha2(F.col("txt"), 256).alias("text_sha256"))
+        out = out.persist()
+        out.count()  # materialize before the temp dir vanishes
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_mapper_expand_macro(spark, sf_dir):
     """LaTeX macro expansion on a per-row discriminative payload: the
     docs corpus has zero backslashes (verified), so appending a known
@@ -1753,6 +1816,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_stream_replay": _q_cdc_stream_replay,
         "cdc_salted_replay": _q_cdc_salted_replay,
         "cdc_time_travel": _q_cdc_time_travel,
+        "source_tfrecord_roundtrip": _q_source_tfrecord_roundtrip,
+        "source_webdataset_roundtrip": _q_source_webdataset_roundtrip,
     }
 
 # ---------------------------------------------------------------------------
@@ -2844,6 +2909,16 @@ def oracle_sql() -> dict[str, str]:
                                AND e.seq = mx.mseq)
             SELECT repo, path, sha256(content) AS content_sha256
             FROM last WHERE op <> 'D'
+        """,
+        # source/sink round-trips are identity transforms: the oracle is
+        # the input table itself (sha256 over the utf-8 text bytes)
+        "source_tfrecord_roundtrip": """
+            SELECT doc_id, sha256(text) AS text_sha256
+            FROM documents
+        """,
+        "source_webdataset_roundtrip": """
+            SELECT doc_id, sha256(text) AS text_sha256
+            FROM documents
         """,
         # lineage: per-epoch counts of the pipelined replay — events =
         # compacted keys, upserts = last event is a non-delete whose

@@ -34,6 +34,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 EVENTS = int(os.environ.get("SCALE_STEP_EVENTS", 4_000_000))
 EPOCHS = int(os.environ.get("SCALE_STEP_EPOCHS", 4))
 COPIES = int(os.environ.get("SCALE_STEP_DOC_COPIES", 10))
+# key-cardinality knobs: the flat-wall result at the defaults rides a
+# bounded 200x2000 key space (compaction shuffle O(keys)); raising
+# these makes keys ~ events — the adversarial case where shuffle rows
+# grow with input — to show the degradation is the graceful O(events
+# log events) one, not a cliff
+REPOS = int(os.environ.get("SCALE_STEP_REPOS", 200))
+PATHS = int(os.environ.get("SCALE_STEP_PATHS", 2000))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", 0)) or (os.cpu_count() or 4)
 
@@ -56,6 +63,7 @@ def main() -> None:
                       app_name="scale-step")
     out: dict = {"events": EVENTS, "epochs": EPOCHS,
                  "doc_copies": COPIES, "cpus": CPUS,
+                 "n_repos": REPOS, "n_paths": PATHS,
                  "load_1min_at_start": round(loadavg1(), 2)}
 
     # ---- dedup_minhash at 10x docs --------------------------------
@@ -90,7 +98,7 @@ def main() -> None:
     try:
         events = generate_events(
             spark, EVENTS, batch_size=EVENTS // EPOCHS,
-            n_repos=200, n_paths=2000,
+            n_repos=REPOS, n_paths=PATHS,
         ).persist()
         events.count()  # materialize generation outside the fence
         pipe = Pipeline([

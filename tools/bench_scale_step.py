@@ -96,11 +96,18 @@ def main() -> None:
     # ---- CDC replay at 10x events ---------------------------------
     root = tempfile.mkdtemp(prefix="scale_step_lake_")
     try:
-        events = generate_events(
+        # Spill the synthetic binlog to parquet and replay FROM DISK —
+        # a real replay tails a persisted log, and an in-memory
+        # columnar cache of >=64M text events overwhelms a local-mode
+        # heap (the executor storage region) long before the replay
+        # path itself is stressed. Generation + write stay outside the
+        # wall fence; the measured path reads the log like production.
+        log_dir = os.path.join(root, "_binlog")
+        generate_events(
             spark, EVENTS, batch_size=EVENTS // EPOCHS,
             n_repos=REPOS, n_paths=PATHS,
-        ).persist()
-        events.count()  # materialize generation outside the fence
+        ).write.parquet(log_dir)
+        events = spark.read.parquet(log_dir)
         pipe = Pipeline([
             {"clean_copyright_mapper": {"text_key": "content"}},
             {"clean_email_mapper": {"text_key": "content"}},
@@ -126,7 +133,6 @@ def main() -> None:
         if steady and steady_secs > 0:
             out["events_per_sec_10x"] = round(
                 per_epoch * len(steady) / steady_secs, 1)
-        events.unpersist()
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

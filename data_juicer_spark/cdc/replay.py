@@ -180,17 +180,39 @@ class CdcReplayer:
     # -- full replay ----------------------------------------------------------
 
     def replay(self, events: DataFrame, start_epoch: Optional[int] = None,
-               end_epoch: Optional[int] = None) -> List[EpochStats]:
+               end_epoch: Optional[int] = None,
+               cache: Optional[bool] = None) -> List[EpochStats]:
         """Replay epochs [start, end]. Default start resumes after the
-        table's current epoch (checkpoint = committed epoch)."""
+        table's current epoch (checkpoint = committed epoch).
+
+        cache: whether to persist `events` for the epoch loop.
+          None (default) — persist only when the plan is NOT already a
+          file scan: a synthesized/derived input would otherwise be
+          recomputed once per epoch, but a file-backed log already
+          serves each epoch via a pruned scan (epoch predicate pushed
+          to the format), and force-caching the FULL log is exactly
+          what a 10^10-event replay must never do — the columnar cache
+          of the whole binlog competes with shuffle/UDF memory and
+          collapses long before the replay path itself is stressed.
+          True/False — explicit override (a caller replaying a small
+          derived batch repeatedly may want True; benchmarks that
+          model production log-tailing want False)."""
         if start_epoch is None:
             start_epoch = self.table.current_epoch() + 1
         if end_epoch is None:
             end_epoch = events.agg(F.max("epoch")).collect()[0][0]
             if end_epoch is None:
                 return []
+        if cache is None:
+            # file-backed plans re-read only the pruned epoch slice;
+            # a synthesized/derived input would recompute per epoch
+            try:
+                file_backed = bool(events.inputFiles())
+            except Exception:
+                file_backed = False
+            cache = not file_backed
         # don't double-persist (and never unpersist) a cache the caller owns
-        owns_cache = events.storageLevel.useMemory is False \
+        owns_cache = cache and events.storageLevel.useMemory is False \
             and events.storageLevel.useDisk is False
         if owns_cache:
             events = events.persist()

@@ -495,3 +495,36 @@ def test_expire_grace_skips_young_data_dirs(spark, tmp_root):
     assert len(table.snapshot_history()) == 2
     assert table_state(spark, table) == before
     events.unpersist()
+
+
+def test_replay_cache_policy(spark, tmp_root):
+    """replay() must NOT columnar-cache a file-backed log (a 10^10-event
+    binlog can never fit; each epoch is a pruned scan instead), must
+    auto-cache a synthesized input (else it recomputes per epoch), and
+    both paths must produce the identical final table state."""
+    events = make_events(spark, 2000, 500)
+    log_dir = tmp_root + "/binlog"
+    events.write.parquet(log_dir)
+    from_disk = spark.read.parquet(log_dir)
+
+    t_disk = SnapshotTable(spark, tmp_root + "/disk", ["repo", "path"],
+                           num_buckets=8, strategy="mor")
+    CdcReplayer(t_disk).replay(from_disk)
+    # file-backed: replay must have left the input uncached
+    assert from_disk.storageLevel.useMemory is False
+    assert from_disk.storageLevel.useDisk is False
+
+    t_gen = SnapshotTable(spark, tmp_root + "/gen", ["repo", "path"],
+                          num_buckets=8, strategy="mor")
+    CdcReplayer(t_gen).replay(events)
+    # synthesized: replay caches internally and unpersists on exit
+    assert events.storageLevel.useMemory is False
+
+    # explicit override beats detection
+    t_force = SnapshotTable(spark, tmp_root + "/force", ["repo", "path"],
+                            num_buckets=8, strategy="mor")
+    CdcReplayer(t_force).replay(from_disk, cache=True)
+    assert from_disk.storageLevel.useMemory is False  # unpersisted after
+
+    assert table_state(spark, t_disk) == table_state(spark, t_gen)
+    assert table_state(spark, t_disk) == table_state(spark, t_force)

@@ -33,6 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 EVENTS = int(os.environ.get("SCALE_STEP_EVENTS", 4_000_000))
 EPOCHS = int(os.environ.get("SCALE_STEP_EPOCHS", 4))
+# COPIES=0 skips the dedup section (events-axis-only reruns)
 COPIES = int(os.environ.get("SCALE_STEP_DOC_COPIES", 10))
 # key-cardinality knobs: the flat-wall result at the defaults rides a
 # bounded 200x2000 key space (compaction shuffle O(keys)); raising
@@ -70,7 +71,7 @@ def main() -> None:
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     n0 = docs.count()
     copies = None
-    for i in range(COPIES):
+    for i in range(COPIES if COPIES > 0 else 0):
         # near-dup mutation on odd doc_ids: append a per-copy token
         mutated = docs.select(
             (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
@@ -79,19 +80,20 @@ def main() -> None:
             .otherwise(F.col("text")).alias("text"),
         )
         copies = mutated if copies is None else copies.unionByName(mutated)
-    big_docs = copies.repartition(CPUS * 2).persist()
-    n_big = big_docs.count()  # materialize outside the fence
-    out["docs_rows"] = n_big
-    assert n_big == n0 * COPIES
+    if copies is not None:
+        big_docs = copies.repartition(CPUS * 2).persist()
+        n_big = big_docs.count()  # materialize outside the fence
+        out["docs_rows"] = n_big
+        assert n_big == n0 * COPIES
 
-    op = OPERATORS.get("document_minhash_deduplicator")(
-        text_key="text", id_key="doc_id", num_permutations=128,
-        jaccard_threshold=0.7)
-    t0 = time.time()
-    kept = op.apply(big_docs).agg({"doc_id": "count"}).collect()[0][0]
-    out["dedup_minhash_sec_10x"] = round(time.time() - t0, 3)
-    out["dedup_minhash_kept"] = kept
-    big_docs.unpersist()
+        op = OPERATORS.get("document_minhash_deduplicator")(
+            text_key="text", id_key="doc_id", num_permutations=128,
+            jaccard_threshold=0.7)
+        t0 = time.time()
+        kept = op.apply(big_docs).agg({"doc_id": "count"}).collect()[0][0]
+        out["dedup_minhash_sec_10x"] = round(time.time() - t0, 3)
+        out["dedup_minhash_kept"] = kept
+        big_docs.unpersist()
 
     # ---- CDC replay at 10x events ---------------------------------
     root = tempfile.mkdtemp(prefix="scale_step_lake_")
@@ -119,7 +121,9 @@ def main() -> None:
                               num_buckets=64, strategy="mor",
                               compact_every=8)
         t0 = time.time()
-        stats = CdcReplayer(table, pipeline=pipe).replay(events)
+        # cache=False: production log-tailing — each epoch is a pruned
+        # scan of the on-disk log, never a whole-log columnar cache
+        stats = CdcReplayer(table, pipeline=pipe).replay(events, cache=False)
         replay_dt = time.time() - t0
         snap = table.current_snapshot()
         if snap and snap.get("deltas"):
@@ -133,6 +137,10 @@ def main() -> None:
         if steady and steady_secs > 0:
             out["events_per_sec_10x"] = round(
                 per_epoch * len(steady) / steady_secs, 1)
+        # per-epoch walls separate the one-time cold costs (JVM/Arrow
+        # warmup, empty->full initial table build) from the steady rate
+        out["epoch_secs"] = [round(s.seconds, 2) for s in stats]
+        out["final_compact_sec"] = round(dt - replay_dt, 3)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -60,8 +60,19 @@ def main() -> None:
     from data_juicer_spark.registry import OPERATORS
     import data_juicer_spark.operators  # noqa: F401
 
+    # local[N,3] + speculation: at tens of millions of generated rows a
+    # Python worker occasionally wedges on its output socket (observed
+    # ~1-in-3 runs at >=16M events: 31/32 generation tasks finish, one
+    # straggler hangs forever). Local mode defaults to maxFailures=1 /
+    # no speculation, so one zombie aborts the whole run — the exact
+    # failure a real cluster absorbs with retries + speculative copies.
     spark = get_spark(parallelism=CPUS, shuffle_partitions=max(CPUS, 16),
-                      app_name="scale-step")
+                      app_name="scale-step", master=f"local[{CPUS},3]",
+                      extra_conf={
+                          "spark.speculation": "true",
+                          "spark.speculation.multiplier": "3",
+                          "spark.speculation.quantile": "0.9",
+                      })
     out: dict = {"events": EVENTS, "epochs": EPOCHS,
                  "doc_copies": COPIES, "cpus": CPUS,
                  "n_repos": REPOS, "n_paths": PATHS,

@@ -287,76 +287,98 @@ class SnapshotTable:
         clean_df = self._read_dirs(base_clean, schema)
         if not delta_bs:
             return clean_df
+        resolved = self._resolve_deltas(snap, schema, want)
+        return clean_df.unionByName(resolved)
 
-        # resolve delta-touched buckets: base rank 0, delta i rank i+1
+    def _resolve_deltas(self, snap: dict, schema: T.StructType,
+                        want: Optional[set],
+                        cluster_by_bucket: bool = False) -> DataFrame:
+        """Last-writer-wins resolution of delta-touched buckets as ONE
+        map-side-combinable max_by aggregation: base rows rank 0, delta i
+        upserts rank i, delta i equality-delete keys rank i with a delete
+        marker; per key the max-rank entry wins and delete winners drop.
+        Ranks are unique per key (a key appears at most once per delta
+        side and once in the base), so max_by has no ties.
+
+        This replaces the earlier window(row_number) + broadcast-join
+        formulation: the agg needs no per-partition sorts, no broadcast
+        build job for the delete side, and its partial aggregation
+        collapses duplicate keys map-side before the exchange.
+
+        cluster_by_bucket=True (the compaction path) additionally keys
+        the one exchange on the storage bucket instead of the raw key:
+        the output is then already partitioned the way the bucketed
+        rewrite must be laid out, so the follow-up write needs NO second
+        exchange of the payload (2 full-payload shuffles -> 1)."""
         base_dirty = [
             d for b, d in snap["buckets"].items()
-            if (want is None or int(b) in want) and int(b) in delta_bs
+            if (want is None or int(b) in want) and int(b) in self._delta_buckets(snap)
         ]
-        ups = self._read_dirs(base_dirty, schema).withColumn("__rank__", F.lit(0))
-        del_parts = []
+        parts = [
+            self._read_dirs(base_dirty, schema)
+            .withColumn("__rank__", F.lit(0))
+            .withColumn("__del__", F.lit(False))
+        ]
         for i, delta in enumerate(snap.get("deltas", []), start=1):
             up_dirs = [
                 d for b, d in delta["upsert_buckets"].items()
                 if want is None or int(b) in want
             ]
             if up_dirs:
-                ups = ups.unionByName(
-                    self._read_dirs(up_dirs, schema).withColumn("__rank__", F.lit(i)),
-                    allowMissingColumns=True,
+                parts.append(
+                    self._read_dirs(up_dirs, schema)
+                    .withColumn("__rank__", F.lit(i))
+                    .withColumn("__del__", F.lit(False))
                 )
             dl_dirs = [
                 d for b, d in delta.get("delete_buckets", {}).items()
                 if want is None or int(b) in want
             ]
             if dl_dirs:
-                del_parts.append(
+                parts.append(
                     self.spark.read.parquet(*dl_dirs)
                     .select(*self.key_cols)
-                    .withColumn("__del_rank__", F.lit(i))
+                    .withColumn("__rank__", F.lit(i))
+                    .withColumn("__del__", F.lit(True))
                 )
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy(*self.key_cols).orderBy(F.col("__rank__").desc())
-        latest = (
-            ups.withColumn("__rn__", F.row_number().over(w))
-            .where(F.col("__rn__") == 1)
-            .drop("__rn__")
-        )
-        if del_parts:
-            dels = del_parts[0]
-            for p in del_parts[1:]:
-                dels = dels.unionByName(p)
-            dels = dels.groupBy(*self.key_cols).agg(
-                F.max("__del_rank__").alias("__del_rank__")
-            )
-            latest = (
-                latest.join(dels, on=self.key_cols, how="left")
-                .where(
-                    F.col("__del_rank__").isNull()
-                    | (F.col("__rank__") > F.col("__del_rank__"))
-                )
-                .drop("__del_rank__")
-            )
-        resolved = latest.drop("__rank__")
-        return clean_df.unionByName(resolved)
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.unionByName(p, allowMissingColumns=True)
+        payload = [f.name for f in schema.fields if f.name not in self.key_cols]
+        group_cols = list(self.key_cols)
+        if cluster_by_bucket:
+            merged = merged.withColumn("__bucket__", self._bucket_expr()) \
+                .repartition(min(self.num_buckets, 256), "__bucket__")
+            # grouping on (__bucket__, key) is satisfied by the bucket
+            # hash partitioning above, so NO further exchange is planned
+            group_cols = ["__bucket__"] + group_cols
+        latest = merged.groupBy(*group_cols).agg(
+            F.max_by(F.struct(F.col("__del__"), *[F.col(c) for c in payload]),
+                     F.col("__rank__")).alias("__last__")
+        ).where(~F.col("__last__.__del__"))
+        out_cols = [F.col(f.name) if f.name in self.key_cols
+                    else F.col(f"__last__.{f.name}").alias(f.name)
+                    for f in schema.fields]
+        if cluster_by_bucket:
+            out_cols.append(F.col("__bucket__"))
+        return latest.select(out_cols)
 
     # -- write / merge -----------------------------------------------------
 
-    def _write_buckets(self, df: DataFrame, snap_id: str) -> str:
+    def _write_buckets(self, df: DataFrame, snap_id: str,
+                       pre_bucketed: bool = False) -> str:
         """Write df hash-partitioned by bucket; returns the data dir.
         repartition on the bucket column co-locates each bucket into one
         shuffle partition before partitionBy, so each bucket=K dir gets
         one file per shuffle partition that holds it (no small-file
-        explosion)."""
+        explosion). pre_bucketed=True: df already carries __bucket__ AND
+        is hash-partitioned by it (the compaction path), so the write
+        adds no exchange at all."""
         out = f"{self.root}/data/snap-{snap_id}"
-        (
-            df.withColumn("__bucket__", self._bucket_expr())
-            .repartition(min(self.num_buckets, 256), "__bucket__")
-            .write.partitionBy("__bucket__")
-            .mode("overwrite")
-            .parquet(out)
-        )
+        if not pre_bucketed:
+            df = df.withColumn("__bucket__", self._bucket_expr()) \
+                .repartition(min(self.num_buckets, 256), "__bucket__")
+        df.write.partitionBy("__bucket__").mode("overwrite").parquet(out)
         return out
 
     def _bucket_dirs(self, data_dir: str) -> dict:
@@ -719,9 +741,14 @@ class SnapshotTable:
                             parent=cur["snapshot_id"], epoch=epoch,
                             committed_at=time.time())
             return self._commit(manifest)
-        resolved = self.read(buckets=dirty)
+        # resolve clustered by the storage bucket: the one exchange both
+        # feeds the last-writer agg AND lays rows out for the bucketed
+        # write below (pre_bucketed → the write adds no second shuffle)
+        schema = T.StructType.fromJson(cur["schema"])
+        resolved = self._resolve_deltas(cur, schema, set(dirty),
+                                        cluster_by_bucket=True)
         snap_id = self._new_snap_id()
-        data_dir = self._write_buckets(resolved, snap_id)
+        data_dir = self._write_buckets(resolved, snap_id, pre_bucketed=True)
         buckets = dict(cur["buckets"])
         for b in dirty:
             buckets.pop(str(b), None)

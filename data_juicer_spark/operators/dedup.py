@@ -359,6 +359,11 @@ class DocumentMinhashDeduplicator(Deduplicator):
     def duplicate_pairs(self, df: DataFrame, order_col: str) -> DataFrame:
         """(src,dst) star edges: each LSH bucket of size>1 emits
         (member, min member)."""
+        from data_juicer_spark.functions.partitioning import (
+            ensure_scan_parallelism,
+        )
+
+        df = ensure_scan_parallelism(df)
         mh = self._minhash_udf()
         sig = df.select(
             F.col(order_col).alias("__uid__"),
@@ -515,10 +520,15 @@ class DocumentSimhashDeduplicator(Deduplicator):
         return exprs
 
     def apply(self, df: DataFrame) -> DataFrame:
+        from data_juicer_spark.functions.partitioning import (
+            ensure_scan_parallelism,
+        )
+
         order_col = self.id_key or df.columns[0]
         sh = self._simhash_udf()
-        sig = df.select(F.col(order_col).alias("__uid__"),
-                        sh(F.col(self.text_key)).alias("__simhash__"))
+        sig = ensure_scan_parallelism(df).select(
+            F.col(order_col).alias("__uid__"),
+            sh(F.col(self.text_key)).alias("__simhash__"))
         # 1) identical simhashes are dups by definition (hd=0): collapse
         #    them with one groupBy; only DISTINCT values enter the join
         reps = sig.groupBy("__simhash__").agg(F.min("__uid__").alias("__uid__"))

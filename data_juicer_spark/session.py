@@ -112,24 +112,44 @@ def _warm_session(spark: SparkSession) -> None:
         if spark.conf.get(marker, None):
             return
         spark.conf.set(marker, "true")
-        import pandas as pd  # noqa: F401
+        import pandas as pd
         from pyspark.sql import functions as F
         from pyspark.sql.functions import pandas_udf
 
-        @pandas_udf("long")
-        def _noop_udf(s: "pd.Series") -> "pd.Series":
-            return s
+        # the shapes below are chosen to touch each first-use-expensive
+        # path once: Arrow pandas UDF over STRINGS returning ARRAYS
+        # (the dedup signature shape — its first stage otherwise pays
+        # ~4-6 s of Arrow/codegen classloading), HOF transform+slice,
+        # explode, regexp, hash-aggregate exchange, noop sink
+        @pandas_udf("array<long>")
+        def _warm_udf(s: "pd.Series") -> "pd.Series":
+            return s.map(lambda v: [len(v or "")] * 4)
 
         par = spark.sparkContext.defaultParallelism
         df = (
             spark.range(0, max(par * 4, 8), 1, max(par, 2))
             .withColumn("s", F.concat(F.lit("x"), F.col("id")))
-            .withColumn("u", _noop_udf(F.col("id")))
             .where(F.regexp_replace("s", "x", "y") != "zzz")
-            .groupBy((F.col("id") % 7).alias("k"))
-            .agg(F.count("*").alias("c"), F.sum("u").alias("su"))
+            .withColumn("a", _warm_udf(F.col("s")))
+            .select("id", F.explode(F.expr(
+                "transform(sequence(0,1), "
+                "b -> struct(b as bid, slice(a, b*2+1, 2) as sig))")).alias("e"))
+            .groupBy("e.bid", F.col("e.sig").cast("array<long>").alias("sig"))
+            .agg(F.min("id").alias("m"), F.count(F.lit(1)).alias("n"))
         )
         df.write.format("noop").mode("overwrite").save()
+        # parquet datasource + output committer classloading is another
+        # ~2 s first-use hit; pay it here on two synthetic rows
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="dj_spark_warm_")
+        try:
+            spark.range(0, 2).withColumn("s", F.lit("x")) \
+                .write.mode("overwrite").parquet(d)
+            spark.read.parquet(d).where(F.col("s") != "zzz").count()
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
     except Exception:
         pass  # warmup is best-effort; never fail session construction
 

@@ -58,7 +58,6 @@ def phase_pipeline(spark, docs):
     # plan-build + optimize cost alone (no execution)
     t0 = time.time()
     df = pipe.apply(docs)
-    df.queryExecution = None if False else None
     RESULTS["pipeline/plan_build_py"] = round(time.time() - t0, 3)
     timed(spark, "pipeline/explain(optimizer)", lambda: df._jdf.queryExecution().executedPlan())
     timed(spark, "pipeline/cold_count", lambda: pipe.apply(docs).agg({"doc_id": "count"}).collect())

@@ -138,6 +138,14 @@ def _warm_session(spark: SparkSession) -> None:
             .agg(F.min("id").alias("m"), F.count(F.lit(1)).alias("n"))
         )
         df.write.format("noop").mode("overwrite").save()
+        # localCheckpoint (RDD cache infra) and broadcast-join machinery
+        # are each another ~2 s on first use (the scan guard and the
+        # dedup/AQE joins hit them); touch both on a few synthetic rows
+        small = spark.range(0, 8, 1, 4).withColumn("k", F.col("id") % 3)
+        dim = spark.range(0, 3).withColumnRenamed("id", "k")
+        (small.localCheckpoint(eager=True)
+         .join(F.broadcast(dim), "k").groupBy("k").count()
+         .write.format("noop").mode("overwrite").save())
         # parquet datasource + output committer classloading is another
         # ~2 s first-use hit; pay it here on two synthetic rows
         import shutil

@@ -112,7 +112,6 @@ def _warm_session(spark: SparkSession) -> None:
         if spark.conf.get(marker, None):
             return
         spark.conf.set(marker, "true")
-        import pandas as pd
         from pyspark.sql import functions as F
         from pyspark.sql.functions import pandas_udf
 
@@ -120,9 +119,20 @@ def _warm_session(spark: SparkSession) -> None:
         # path once: Arrow pandas UDF over STRINGS returning ARRAYS
         # (the dedup signature shape — its first stage otherwise pays
         # ~4-6 s of Arrow/codegen classloading), HOF transform+slice,
-        # explode, regexp, hash-aggregate exchange, noop sink
+        # explode, regexp, hash-aggregate exchange, noop sink.
+        # NO type annotations on the UDF: pandas_udf resolves string
+        # hints in THIS module's globals, and an unresolvable hint
+        # raises at decoration — which would silently disable the whole
+        # warmup through the best-effort except below (it did, once).
         @pandas_udf("array<long>")
-        def _warm_udf(s: "pd.Series") -> "pd.Series":
+        def _warm_udf(s):
+            # run the operator-package import INSIDE the (reused) Python
+            # workers: a real operator UDF's closure references its
+            # defining module, so the first dedup/mapper UDF stage
+            # otherwise stalls ~5 s while 32 workers import the package
+            # concurrently (measured; guarded by sys.modules afterwards)
+            import data_juicer_spark.functions.similarity  # noqa: F401
+            import data_juicer_spark.operators  # noqa: F401
             return s.map(lambda v: [len(v or "")] * 4)
 
         par = spark.sparkContext.defaultParallelism

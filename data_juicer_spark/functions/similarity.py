@@ -42,8 +42,14 @@ def brute_force_topk(
     scan the corpus once, per-query window top-k. At 100 TB the corpus
     scan is embarrassingly parallel; the only shuffle is the per-query
     top-k (tiny: k rows per query per partition after AQE combine)."""
+    from data_juicer_spark.functions.partitioning import (
+        ensure_scan_parallelism,
+    )
+
     q = queries.select(F.col(q_id), F.col(vec).alias("__qv__"))
-    c = corpus.select(F.col(c_id), F.col(vec).alias("__cv__"))
+    # the per-pair cosine runs on the corpus SCAN partitions — fan a
+    # single-row-group corpus out to all cores (no-op at scale)
+    c = ensure_scan_parallelism(corpus).select(F.col(c_id), F.col(vec).alias("__cv__"))
     scored = c.crossJoin(F.broadcast(q)).select(
         q_id, c_id, F.round(cosine(F.col("__qv__"), F.col("__cv__")), 6).alias("cos_sim")
     )

@@ -144,16 +144,21 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     """
     sym = edges.selectExpr(f"{src} as a", f"{dst} as b").where("a <> b")
     sym = sym.union(sym.selectExpr("b as a", "a as b")).distinct()
-    # materialize the (small: LSH candidate) edge set once — every round
+    # checkpoint the (small: LSH candidate) edge set once — every round
     # joins against it, and the rounds must not re-resolve the whole
-    # upstream signature/banding lineage
-    sym = sym.localCheckpoint(eager=True)
+    # upstream signature/banding lineage. LAZY checkpoints throughout:
+    # each round's convergence count is the action that materializes
+    # that round's cache, so a round costs ONE job instead of the
+    # eager-checkpoint-job + count-job pair (and sym/labels materialize
+    # inside round 0's job instead of two standalone jobs) — same
+    # lineage truncation, half the job choreography.
+    sym = sym.localCheckpoint(eager=False)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
     )
-    labels = labels.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=False)
     for _ in range(max_rounds):
         nbr_min = (
             sym.join(labels, sym["b"] == labels["node"], "inner")
@@ -170,7 +175,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                 (F.coalesce("nbr_component", F.col("component")) < F.col("component")).alias("changed"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = new_labels.localCheckpoint(eager=False)
         n_changed = new_labels.where("changed").count()
         labels = new_labels.drop("changed")
         if n_changed == 0:
